@@ -1,0 +1,129 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters its knobs across ROS params and compile-time macros
+(see SURVEY.md section 5 "Config / flag system"; e.g. odometry fan-out f<6 at
+PoseGraphSLAM.cpp:1577, weights at :1603-1606, 10 LM iters at :1272, 0.5 Hz
+trigger poll at :1257, 30k-node capacity at :17-25, switch init 0.99 at
+:351-361). Here everything is one frozen dataclass so a run is fully
+reproducible from its config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Levenberg-Marquardt + PCG settings (replaces ceres::Solver::Options).
+
+    Reference: ceres SPARSE_NORMAL_CHOLESKY with max_num_iterations=10
+    (PoseGraphSLAM.cpp:1270-1272). We run LM with block-Jacobi-preconditioned
+    CG on the Gauss-Newton normal equations, fully on device.
+    """
+
+    max_lm_iterations: int = 10
+    # Ceres defaults mirrored for chi^2 parity:
+    initial_trust_region_radius: float = 1e4   # lambda0 = 1/radius
+    function_tolerance: float = 1e-6
+    gradient_tolerance: float = 1e-10
+    parameter_tolerance: float = 1e-8
+    # PCG (inner linear solve)
+    max_cg_iterations: int = 100
+    cg_tolerance: float = 1e-7          # relative residual reduction
+    # dtype for device solve: "float32" (TPU-native) or "float64" (parity
+    # checks on CPU).
+    dtype: str = "float32"
+    # Re-orthonormalize quaternions after each accepted LM step.
+    renormalize: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ResidualConfig:
+    """Residual-model settings (replaces CeresResidues.h compile-time picks).
+
+    mode: "6dof" (quaternion residuals, the reference's active path) or
+    "4dof" (yaw-weighted Euler variant, CeresResidues.h:252-422, available
+    but not wired in the reference's active path).
+    """
+
+    mode: str = "6dof"
+    use_switch_constraints: bool = True     # loop edges get switch variables
+    switch_init: float = 0.99               # PoseGraphSLAM.cpp:351-361
+    switch_prior_weight: float = 1.0        # row 7 scale (CeresResidues.h:189)
+    odometry_fanout: int = 5                # f = 1..5, PoseGraphSLAM.cpp:1577
+    odometry_decay: float = 0.9             # weight 0.9^f
+    odometry_yaw_sigma2: float = 6.0        # * exp(-yaw^2/6), :1603-1606
+    # 4dof row scales (CeresResidues.h:303-305)
+    yaw_scale: float = 4.0
+    pitchroll_scale: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityConfig:
+    """Static padded-array capacities. XLA needs static shapes; arrays grow
+    by bucket doubling and each bucket size gets its own compiled program.
+
+    Reference hard-codes 30k nodes / 30k edges (PoseGraphSLAM.cpp:17-25);
+    we start small and double on demand up to max_*.
+    """
+
+    initial_nodes: int = 1024
+    initial_edges: int = 256
+    max_nodes: int = 65536
+    max_edges: int = 65536
+    max_worlds: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamConfig:
+    """Streaming-engine rates (replace the reference thread loop rates)."""
+
+    trigger_poll_hz: float = 2.0        # reference: 0.5 Hz poll (:1257); we
+                                        # poll faster since a no-op poll is free
+    assembler_hz: float = 30.0          # Composer.cpp:10 (30 Hz)
+    find_index_tol_ns: int = 1_000_000  # 1 ms timestamp match tolerance
+                                        # (NodeDataManager.cpp:286)
+
+
+@dataclasses.dataclass(frozen=True)
+class IOConfig:
+    save_dir: Optional[str] = None      # saveStateToDisk ROS param analog
+    load_dir: Optional[str] = None      # loadStateFromDisk ROS param analog
+    logging_dir: Optional[str] = None   # __LOGGING__ debug dump dir
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Multi-chip sharding of the PCG over an ICI mesh (optional; the graph
+    fits one chip at reference scales — see SURVEY.md section 2.3)."""
+
+    n_devices: int = 1
+    axis_name: str = "graph"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    residual: ResidualConfig = dataclasses.field(default_factory=ResidualConfig)
+    capacity: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
+    stream: StreamConfig = dataclasses.field(default_factory=StreamConfig)
+    io: IOConfig = dataclasses.field(default_factory=IOConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        return Config(
+            solver=SolverConfig(**d.get("solver", {})),
+            residual=ResidualConfig(**d.get("residual", {})),
+            capacity=CapacityConfig(**d.get("capacity", {})),
+            stream=StreamConfig(**d.get("stream", {})),
+            io=IOConfig(**d.get("io", {})),
+            mesh=MeshConfig(**d.get("mesh", {})),
+        )
