@@ -31,7 +31,7 @@ class SolverConfig:
     gradient_tolerance: float = 1e-10
     parameter_tolerance: float = 1e-8
     # PCG (inner linear solve)
-    max_cg_iterations: int = 100
+    max_cg_iterations: int = 500
     cg_tolerance: float = 1e-7          # relative residual reduction
     # dtype for device solve: "float32" (TPU-native) or "float64" (parity
     # checks on CPU).

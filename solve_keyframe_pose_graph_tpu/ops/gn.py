@@ -1,0 +1,244 @@
+"""Gauss-Newton normal-equation blocks for the pose-graph problem.
+
+Replaces Ceres problem assembly + SPARSE_NORMAL_CHOLESKY
+(/root/reference/src/PoseGraphSLAM.cpp:1270,1887-1924) with an explicitly
+structured block system designed for the TPU memory system:
+
+  H = [ H_nn  H_ns ]   with node-node part H_nn = D (block diag, 6x6)
+      [ H_ns' H_ss ]                      + banded B_f (odometry, offsets 1..F)
+                                          + sparse loop blocks A_ba
+       H_ns: per-loop-edge 6-vectors (node <-> switch coupling)
+       H_ss: diagonal (switch scalars)
+
+The odometry band is stored DENSE and node-aligned — (F, Nc, 6, 6) — so the
+entire banded matvec is static shifts + batched 6x6 matmuls: zero gather,
+zero scatter, perfectly streamed from HBM. Only the loop-closure blocks
+(|E| of them) use gather/scatter-add. This is the structural win over
+translating Ceres' per-residual-block sparse assembly.
+
+All quantities are masked: padded slots carry zero blocks (identity on the
+diagonal) and zero gradient, so their CG updates are exactly zero.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from solve_keyframe_pose_graph_tpu.ops import residuals as res
+from solve_keyframe_pose_graph_tpu.solver.problem import Problem
+
+
+# ---------------------------------------------------------------------------
+# shifts (static f, unrolled)
+# ---------------------------------------------------------------------------
+
+
+def shift_down(x, f):
+    """out[u] = x[u-f]; first f slots zero."""
+    pad = jnp.zeros((f,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([pad, x[:-f]], axis=0)
+
+
+def shift_up(x, f):
+    """out[u] = x[u+f]; last f slots zero."""
+    pad = jnp.zeros((f,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x[f:], pad], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# GN blocks container
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["cost", "D", "B", "Aba", "cb", "ca", "ds", "g_n", "g_s"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class GNBlocks:
+    cost: jax.Array          # scalar, 0.5 * sum r^2  (Ceres cost convention)
+    D: jax.Array             # (Nc,6,6) node diagonal blocks
+    B: jax.Array             # (F,Nc,6,6) band: couples u (rows) with u-f (cols)
+    Aba: jax.Array           # (Ec,6,6) loop off-diag: couples b (rows), a (cols)
+    cb: jax.Array            # (Ec,6) node-b <-> switch coupling
+    ca: jax.Array            # (Ec,6) node-a <-> switch coupling
+    ds: jax.Array            # (Ec,)  switch diagonal
+    g_n: jax.Array           # (Nc,6) gradient J^T r, nodes
+    g_s: jax.Array           # (Ec,)  gradient, switches
+
+
+def _odo_inputs(problem: Problem, q, t):
+    """Stacked (F,Nc,...) endpoint states for the odometry grid."""
+    F = problem.fanout
+    q1 = jnp.broadcast_to(q, (F,) + q.shape)
+    t1 = jnp.broadcast_to(t, (F,) + t.shape)
+    q2 = jnp.stack([shift_down(q, f + 1) for f in range(F)])
+    t2 = jnp.stack([shift_down(t, f + 1) for f in range(F)])
+    # padded slots hold identity quats; avoid 0-norm quats in the residual
+    q2 = jnp.where(
+        jnp.sum(q2 * q2, axis=-1, keepdims=True) < 0.5,
+        jnp.zeros_like(q2).at[..., 3].set(1.0),
+        q2,
+    )
+    return q1, t1, q2, t2
+
+
+def evaluate_cost(problem: Problem, q, t, s) -> jax.Array:
+    """0.5 * ||r||^2 over all three residual families (no Jacobians)."""
+    F, Nc = problem.fanout, problem.n_cap
+    q1, t1, q2, t2 = _odo_inputs(problem, q, t)
+    w = problem.odo_w * problem.odo_mask
+    r_odo = res.six_dof_residual(q1, t1, q2, t2, problem.odo_q, problem.odo_t, w)
+
+    qb, tb = q[problem.loop_b], t[problem.loop_b]
+    qa, ta = q[problem.loop_a], t[problem.loop_a]
+    r_loop = res.six_dof_switch_residual(
+        qb, tb, qa, ta, s, problem.loop_q, problem.loop_t, problem.loop_w
+    ) * problem.loop_mask[:, None]
+
+    qp, tp = q[problem.prior_idx], t[problem.prior_idx]
+    r_pri = res.node_prior_residual(
+        qp, tp, problem.prior_q, problem.prior_t,
+        problem.prior_w * problem.prior_mask,
+    )
+    return 0.5 * (
+        jnp.sum(r_odo * r_odo) + jnp.sum(r_loop * r_loop) + jnp.sum(r_pri * r_pri)
+    )
+
+
+def assemble(problem: Problem, q, t, s) -> GNBlocks:
+    """Evaluate residuals + Jacobians and reduce to GN blocks + gradient."""
+    F, Nc, Ec = problem.fanout, problem.n_cap, problem.e_cap
+    dt = problem.dtype
+
+    D = jnp.zeros((Nc, 6, 6), dt)
+    g_n = jnp.zeros((Nc, 6), dt)
+
+    # ---------------- odometry band (dense, shift-aligned) ----------------
+    q1, t1, q2, t2 = _odo_inputs(problem, q, t)
+    w = (problem.odo_w * problem.odo_mask).reshape(-1)
+    r_o, J1, J2 = res.six_dof_residual_jac(
+        q1.reshape(-1, 4), t1.reshape(-1, 3),
+        q2.reshape(-1, 4), t2.reshape(-1, 3),
+        problem.odo_q.reshape(-1, 4), problem.odo_t.reshape(-1, 3), w,
+    )
+    r_o = r_o.reshape(F, Nc, 6)
+    J1 = J1.reshape(F, Nc, 6, 6)
+    J2 = J2.reshape(F, Nc, 6, 6)
+    cost = 0.5 * jnp.sum(r_o * r_o)
+
+    A11 = jnp.einsum("fuki,fukj->fuij", J1, J1)
+    A22 = jnp.einsum("fuki,fukj->fuij", J2, J2)
+    B = jnp.einsum("fuki,fukj->fuij", J1, J2)   # couples u(rows) with u-f(cols)
+    D = D + jnp.sum(A11, axis=0)
+    gJ1 = jnp.einsum("fuki,fuk->fui", J1, r_o)
+    gJ2 = jnp.einsum("fuki,fuk->fui", J2, r_o)
+    g_n = g_n + jnp.sum(gJ1, axis=0)
+    for f in range(F):
+        D = D + shift_up(A22[f], f + 1)
+        g_n = g_n + shift_up(gJ2[f], f + 1)
+
+    # ---------------- loop edges (sparse, scatter-add) ----------------
+    qb, tb = q[problem.loop_b], t[problem.loop_b]
+    qa, ta = q[problem.loop_a], t[problem.loop_a]
+    r_l, L1, L2, Ls = res.six_dof_switch_residual_jac(
+        qb, tb, qa, ta, s, problem.loop_q, problem.loop_t, problem.loop_w
+    )
+    m = problem.loop_mask
+    r_l = r_l * m[:, None]
+    L1 = L1 * m[:, None, None]
+    L2 = L2 * m[:, None, None]
+    Ls = Ls * m[:, None]
+    cost = cost + 0.5 * jnp.sum(r_l * r_l)
+
+    Abb = jnp.einsum("eki,ekj->eij", L1, L1)
+    Aaa = jnp.einsum("eki,ekj->eij", L2, L2)
+    Aba = jnp.einsum("eki,ekj->eij", L1, L2)
+    cb = jnp.einsum("eki,ek->ei", L1, Ls)
+    ca = jnp.einsum("eki,ek->ei", L2, Ls)
+    ds = jnp.sum(Ls * Ls, axis=-1)
+    D = D.at[problem.loop_b].add(Abb)
+    D = D.at[problem.loop_a].add(Aaa)
+    g_n = g_n.at[problem.loop_b].add(jnp.einsum("eki,ek->ei", L1, r_l))
+    g_n = g_n.at[problem.loop_a].add(jnp.einsum("eki,ek->ei", L2, r_l))
+    g_s = jnp.einsum("ek,ek->e", Ls, r_l)
+
+    # ---------------- node priors ----------------
+    qp, tp = q[problem.prior_idx], t[problem.prior_idx]
+    r_p, Jp = res.node_prior_residual_jac(
+        qp, tp, problem.prior_q, problem.prior_t,
+        problem.prior_w * problem.prior_mask,
+    )
+    pm = problem.prior_mask
+    r_p = r_p * pm[:, None]
+    Jp = Jp * pm[:, None, None]
+    cost = cost + 0.5 * jnp.sum(r_p * r_p)
+    D = D.at[problem.prior_idx].add(jnp.einsum("pki,pkj->pij", Jp, Jp))
+    g_n = g_n.at[problem.prior_idx].add(jnp.einsum("pki,pk->pi", Jp, r_p))
+
+    # ---------------- inert padding ----------------
+    # masked nodes/switches: identity diagonal, zero gradient -> zero update
+    eye = jnp.eye(6, dtype=dt)
+    inactive_n = (problem.node_mask < 0.5)[:, None, None]
+    D = jnp.where(inactive_n, eye, D)
+    g_n = g_n * problem.node_mask[:, None]
+    ds = jnp.where(problem.loop_mask < 0.5, jnp.ones_like(ds), ds)
+    g_s = g_s * problem.loop_mask
+
+    return GNBlocks(cost=cost, D=D, B=B, Aba=Aba, cb=cb, ca=ca, ds=ds,
+                    g_n=g_n, g_s=g_s)
+
+
+# ---------------------------------------------------------------------------
+# scaled, damped matvec:  y = S H (S p) + lm ⊙ p
+# ---------------------------------------------------------------------------
+
+
+def matvec(gn: GNBlocks, problem: Problem, p_n, p_s, scale_n, scale_s,
+           lm_n, lm_s):
+    """Apply the Jacobi-scaled, LM-damped GN Hessian.
+
+    p_n (Nc,6), p_s (Ec,) -> (y_n, y_s). scale_* are Ceres jacobi-scaling
+    columns 1/(1+sqrt(diag)); lm_* are the additive damping diagonals
+    (scale^2 * diag / radius, clamped)."""
+    F = problem.fanout
+    x_n = p_n * scale_n
+    x_s = p_s * scale_s
+
+    y = jnp.einsum("uij,uj->ui", gn.D, x_n)
+    for f in range(F):
+        Bf = gn.B[f]
+        y = y + jnp.einsum("uij,uj->ui", Bf, shift_down(x_n, f + 1))
+        y = y + shift_up(jnp.einsum("uij,ui->uj", Bf, x_n), f + 1)
+
+    xb = x_n[problem.loop_b]
+    xa = x_n[problem.loop_a]
+    y = y.at[problem.loop_b].add(
+        jnp.einsum("eij,ej->ei", gn.Aba, xa) + gn.cb * x_s[:, None]
+    )
+    y = y.at[problem.loop_a].add(
+        jnp.einsum("eij,ei->ej", gn.Aba, xb) + gn.ca * x_s[:, None]
+    )
+    y_s = gn.ds * x_s + jnp.sum(gn.cb * xb, axis=-1) + jnp.sum(gn.ca * xa, axis=-1)
+
+    return y * scale_n + lm_n * p_n, y_s * scale_s + lm_s * p_s
+
+
+def block_jacobi_precond(gn: GNBlocks, scale_n, scale_s, lm_n, lm_s):
+    """Inverse 6x6 diagonal blocks of the scaled+damped system (+ switch
+    scalars). The analog of Ceres' JACOBI/ SCHUR_JACOBI preconditioners, on
+    6x6 pose blocks."""
+    M = gn.D * scale_n[:, :, None] * scale_n[:, None, :]
+    M = M + jnp.eye(6, dtype=M.dtype) * lm_n[:, None, :]  # + diag(lm_n)
+    Minv = jnp.linalg.inv(M)
+    ms = gn.ds * scale_s * scale_s + lm_s
+    return Minv, 1.0 / ms
+
+
+def apply_precond(Minv, ms_inv, r_n, r_s):
+    return jnp.einsum("uij,uj->ui", Minv, r_n), ms_inv * r_s

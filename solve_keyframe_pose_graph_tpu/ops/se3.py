@@ -127,11 +127,13 @@ def quat_box_plus(q, delta):
     use 2*vec(dq), so this pairing makes J consistent with Ceres autodiff).
     """
     theta2 = jnp.sum(delta * delta, axis=-1, keepdims=True)
-    theta = jnp.sqrt(theta2)
-    # Taylor-stable sinc
-    small = theta < 1e-6
-    k = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    dq = jnp.concatenate([k * delta, jnp.cos(theta)], axis=-1)
+    # Differentiable at 0: guard the sqrt argument (the where-grad trap —
+    # sqrt'(0)=inf would poison the untaken branch's tangent under autodiff).
+    small = theta2 < 1e-12
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    k = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    w = jnp.where(small, 1.0 - theta2 / 2.0, jnp.cos(theta))
+    dq = jnp.concatenate([k * delta, w], axis=-1)
     return quat_mul(dq, q)
 
 

@@ -1,0 +1,246 @@
+"""Static-shape problem arrays for one solve.
+
+The reference materializes its problem as a persistent ceres::Problem that
+grows across triggers (PoseGraphSLAM.cpp:1338-1560). TPU-native equivalent:
+a fixed-capacity padded SoA pytree. Capacities (Nc, F, Ec, Pc) are static
+for XLA; growth happens by host-side bucket doubling (a new capacity =
+a new compiled program, amortized O(log N) compiles per run).
+
+Residual families and their layouts:
+
+  * odometry grid (F, Nc): slot [f-1, u] is the edge u <-> u-f with observed
+    relative pose u_M_umf from VIO and weight 0.9^f * exp(-yaw_deg^2/6)
+    (PoseGraphSLAM.cpp:1577-1606). This banded family is laid out DENSE and
+    aligned with the node axis, so the whole Gauss-Newton band needs zero
+    gather/scatter — only static shifts (the TPU win over the reference's
+    per-edge residual blocks).
+  * loop edges (Ec,): switchable-constraint residuals between arbitrary
+    pairs (b, a) with observed b_T_a (PoseGraphSLAM.cpp:1381-1556). Sparse:
+    gathers + segment-sums.
+  * node priors (Pc,): soft anchors on set-root world starts
+    (PoseGraphSLAM.cpp:1801-1879).
+
+Masks are {0,1} floats: a masked-out residual contributes zero rows, zero
+Jacobian, zero Hessian. Masked-out nodes get an identity Hessian block so
+the preconditioner stays invertible; their gradient is zero so their update
+is exactly zero.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "q", "t", "node_mask",
+        "odo_q", "odo_t", "odo_w", "odo_mask",
+        "loop_a", "loop_b", "loop_q", "loop_t", "loop_w", "loop_mask",
+        "switch",
+        "prior_idx", "prior_q", "prior_t", "prior_w", "prior_mask",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class Problem:
+    """All device arrays for one LM solve. Shapes (Nc=node capacity,
+    F=odometry fan-out, Ec=loop-edge capacity, Pc=prior capacity):
+
+    q (Nc,4) xyzw | t (Nc,3) | node_mask (Nc,)
+    odo_q (F,Nc,4) | odo_t (F,Nc,3) | odo_w (F,Nc) | odo_mask (F,Nc)
+    loop_a/b (Ec,) i32 | loop_q (Ec,4) | loop_t (Ec,3) | loop_w (Ec,)
+    loop_mask (Ec,) | switch (Ec,)
+    prior_idx (Pc,) i32 | prior_q (Pc,4) | prior_t (Pc,3) | prior_w (Pc,)
+    prior_mask (Pc,)
+    """
+
+    q: jax.Array
+    t: jax.Array
+    node_mask: jax.Array
+    odo_q: jax.Array
+    odo_t: jax.Array
+    odo_w: jax.Array
+    odo_mask: jax.Array
+    loop_a: jax.Array
+    loop_b: jax.Array
+    loop_q: jax.Array
+    loop_t: jax.Array
+    loop_w: jax.Array
+    loop_mask: jax.Array
+    switch: jax.Array
+    prior_idx: jax.Array
+    prior_q: jax.Array
+    prior_t: jax.Array
+    prior_w: jax.Array
+    prior_mask: jax.Array
+
+    @property
+    def n_cap(self) -> int:
+        return self.q.shape[0]
+
+    @property
+    def fanout(self) -> int:
+        return self.odo_q.shape[0]
+
+    @property
+    def e_cap(self) -> int:
+        return self.loop_a.shape[0]
+
+    @property
+    def p_cap(self) -> int:
+        return self.prior_idx.shape[0]
+
+    @property
+    def dtype(self):
+        return self.q.dtype
+
+
+def empty_problem(n_cap: int, e_cap: int, p_cap: int, fanout: int = 5,
+                  dtype=jnp.float32) -> Problem:
+    f = fanout
+    zq = jnp.zeros((n_cap, 4), dtype).at[:, 3].set(1.0)
+    ozq = jnp.zeros((f, n_cap, 4), dtype).at[..., 3].set(1.0)
+    lq = jnp.zeros((e_cap, 4), dtype).at[:, 3].set(1.0)
+    pq = jnp.zeros((p_cap, 4), dtype).at[:, 3].set(1.0)
+    return Problem(
+        q=zq,
+        t=jnp.zeros((n_cap, 3), dtype),
+        node_mask=jnp.zeros((n_cap,), dtype),
+        odo_q=ozq,
+        odo_t=jnp.zeros((f, n_cap, 3), dtype),
+        odo_w=jnp.zeros((f, n_cap), dtype),
+        odo_mask=jnp.zeros((f, n_cap), dtype),
+        loop_a=jnp.zeros((e_cap,), jnp.int32),
+        loop_b=jnp.zeros((e_cap,), jnp.int32),
+        loop_q=lq,
+        loop_t=jnp.zeros((e_cap, 3), dtype),
+        loop_w=jnp.zeros((e_cap,), dtype),
+        loop_mask=jnp.zeros((e_cap,), dtype),
+        switch=jnp.full((e_cap,), 0.99, dtype),
+        prior_idx=jnp.zeros((p_cap,), jnp.int32),
+        prior_q=pq,
+        prior_t=jnp.zeros((p_cap, 3), dtype),
+        prior_w=jnp.zeros((p_cap,), dtype),
+        prior_mask=jnp.zeros((p_cap,), dtype),
+    )
+
+
+def build_problem_np(
+    *,
+    q: np.ndarray,                 # (N,4) xyzw initial guesses
+    t: np.ndarray,                 # (N,3)
+    vio_q: np.ndarray,             # (N,4) raw VIO poses (odometry observations)
+    vio_t: np.ndarray,             # (N,3)
+    node_valid: np.ndarray,        # (N,) bool: not in a kidnap dead zone
+    loop_pairs: np.ndarray,        # (E,2) int (a, b): edge observed as b_T_a
+    loop_q: np.ndarray,            # (E,4) observed b_T_a rotation
+    loop_t: np.ndarray,            # (E,3)
+    loop_w: np.ndarray,            # (E,)
+    loop_valid: np.ndarray,        # (E,) bool
+    switch: np.ndarray,            # (E,) current switch estimates
+    prior_idx: np.ndarray,         # (P,) int
+    prior_q: np.ndarray,           # (P,4)
+    prior_t: np.ndarray,           # (P,3)
+    prior_w: np.ndarray,           # (P,)
+    n_cap: int,
+    e_cap: int,
+    p_cap: int,
+    fanout: int = 5,
+    odo_decay: float = 0.9,
+    odo_yaw_sigma2: float = 6.0,
+    dtype=np.float32,
+) -> Problem:
+    """Host-side construction of the padded Problem from numpy graph state.
+
+    The odometry observations u_M_umf = (w_M_u)^-1 * w_M_umf and their
+    yaw-dependent weights are computed here on host (float64) once per
+    trigger; they are pure functions of the immutable VIO input.
+    """
+    from solve_keyframe_pose_graph_tpu.utils import nse3
+
+    n = q.shape[0]
+    e = loop_pairs.shape[0] if loop_pairs.size else 0
+    p = len(prior_idx)
+    assert n <= n_cap and e <= e_cap and p <= p_cap, (n, e, p, n_cap, e_cap, p_cap)
+
+    prob = empty_problem(n_cap, e_cap, p_cap, fanout, jnp.dtype(dtype))
+
+    # --- nodes
+    qf = np.zeros((n_cap, 4), dtype); qf[:, 3] = 1.0
+    tf = np.zeros((n_cap, 3), dtype)
+    nm = np.zeros((n_cap,), dtype)
+    qf[:n] = q; tf[:n] = t
+    nm[:n] = node_valid.astype(dtype)
+
+    # --- odometry grid from VIO (float64 host math, then cast)
+    q64 = vio_q.astype(np.float64)
+    t64 = vio_t.astype(np.float64)
+    oq = np.zeros((fanout, n_cap, 4), dtype); oq[..., 3] = 1.0
+    ot = np.zeros((fanout, n_cap, 3), dtype)
+    ow = np.zeros((fanout, n_cap), dtype)
+    om = np.zeros((fanout, n_cap), dtype)
+
+    for f in range(1, fanout + 1):
+        if n <= f:
+            break
+        # node1 = u, node2 = u - f ; observed u_M_umf
+        q1, t1 = q64[f:n], t64[f:n]
+        q2, t2 = q64[: n - f], t64[: n - f]
+        rq, rt = nse3.pose_relative(q1, t1, q2, t2)
+        yaw = nse3.relative_yaw_deg(rq)
+        w = (odo_decay ** f) * np.exp(-yaw * yaw / odo_yaw_sigma2)
+        oq[f - 1, f:n] = rq
+        ot[f - 1, f:n] = rt
+        ow[f - 1, f:n] = w
+        valid = node_valid[f:n] & node_valid[: n - f]
+        om[f - 1, f:n] = valid.astype(dtype)
+
+    # --- loop edges
+    la = np.zeros((e_cap,), np.int32)
+    lb = np.zeros((e_cap,), np.int32)
+    lq = np.zeros((e_cap, 4), dtype); lq[:, 3] = 1.0
+    lt = np.zeros((e_cap, 3), dtype)
+    lw = np.zeros((e_cap,), dtype)
+    lm = np.zeros((e_cap,), dtype)
+    sw = np.full((e_cap,), 0.99, dtype)
+    if e:
+        la[:e] = loop_pairs[:, 0]
+        lb[:e] = loop_pairs[:, 1]
+        lq[:e] = loop_q
+        lt[:e] = loop_t
+        lw[:e] = loop_w
+        lm[:e] = loop_valid.astype(dtype)
+        sw[:e] = switch
+
+    # --- priors
+    pi = np.zeros((p_cap,), np.int32)
+    pq_ = np.zeros((p_cap, 4), dtype); pq_[:, 3] = 1.0
+    pt_ = np.zeros((p_cap, 3), dtype)
+    pw_ = np.zeros((p_cap,), dtype)
+    pm_ = np.zeros((p_cap,), dtype)
+    if p:
+        pi[:p] = prior_idx
+        pq_[:p] = prior_q
+        pt_[:p] = prior_t
+        pw_[:p] = prior_w
+        pm_[:p] = 1.0
+
+    return dataclasses.replace(
+        prob,
+        q=jnp.asarray(qf), t=jnp.asarray(tf), node_mask=jnp.asarray(nm),
+        odo_q=jnp.asarray(oq), odo_t=jnp.asarray(ot),
+        odo_w=jnp.asarray(ow), odo_mask=jnp.asarray(om),
+        loop_a=jnp.asarray(la), loop_b=jnp.asarray(lb),
+        loop_q=jnp.asarray(lq), loop_t=jnp.asarray(lt),
+        loop_w=jnp.asarray(lw), loop_mask=jnp.asarray(lm),
+        switch=jnp.asarray(sw),
+        prior_idx=jnp.asarray(pi), prior_q=jnp.asarray(pq_),
+        prior_t=jnp.asarray(pt_), prior_w=jnp.asarray(pw_),
+        prior_mask=jnp.asarray(pm_),
+    )

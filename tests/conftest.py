@@ -1,13 +1,16 @@
-"""Test harness: force an 8-virtual-device CPU platform before JAX loads.
+"""Test harness: force an 8-virtual-device CPU platform before the JAX
+backend initializes.
 
-Real runs target one TPU chip; sharding tests emulate a mesh on host CPU
-(same XLA collectives, no hardware needed). x64 is enabled so parity tests
-can check the fp64 reference algebra exactly.
+Real runs target one TPU chip (the container pre-sets JAX_PLATFORMS=axon);
+tests must run on host CPU: x64 parity math, deterministic fp64, and a
+virtual 8-device mesh for sharding tests. The config API is used (not just
+env vars) because a pytest plugin may import jax before this conftest runs —
+config.update works any time before backend initialization.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,10 +19,20 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="session")
+def _assert_cpu():
+    assert jax.devices()[0].platform == "cpu", (
+        "tests must run on CPU, got " + jax.devices()[0].platform
+    )
+    yield
 
 
 @pytest.fixture
