@@ -31,8 +31,10 @@ class SolverConfig:
     gradient_tolerance: float = 1e-10
     parameter_tolerance: float = 1e-8
     # PCG (inner linear solve)
-    max_cg_iterations: int = 500
+    max_cg_iterations: int = 100
     cg_tolerance: float = 1e-7          # relative residual reduction
+    cg_q_tolerance: float = 0.1         # Ceres eta: Q-based forcing rule
+    preconditioner: str = "band"        # "band" (BCR) | "jacobi"
     # dtype for device solve: "float32" (TPU-native) or "float64" (parity
     # checks on CPU).
     dtype: str = "float32"

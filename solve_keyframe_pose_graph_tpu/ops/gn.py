@@ -229,6 +229,122 @@ def matvec(gn: GNBlocks, problem: Problem, p_n, p_s, scale_n, scale_s,
     return y * scale_n + lm_n * p_n, y_s * scale_s + lm_s * p_s
 
 
+# ---------------------------------------------------------------------------
+# switch-variable Schur elimination (reduced node-only system)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["Dh", "Bh", "Aba_h", "rhs_n", "chb", "cha", "ds_inv", "rhs_s"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class ReducedSystem:
+    """Scaled + damped + switch-eliminated node system.
+
+    Each switch variable couples only its own edge's two nodes, so its Schur
+    elimination is exact and O(E): the TPU-friendly analog of Ceres' Schur
+    trick (switches play the role of points). CG then runs over nodes only;
+    switches are recovered in closed form afterwards.
+
+    Dh    (Nc,6,6): diagonal blocks (scaled, damped, Schur-corrected)
+    Bh    (F,Nc,6,6): scaled odometry band
+    Aba_h (Ec,6,6): scaled loop blocks, Schur-corrected
+    rhs_n (Nc,6): reduced RHS (-g reduced onto nodes)
+    chb/cha (Ec,6): scaled node<->switch couplings (for recovery)
+    ds_inv (Ec,): inverse damped switch diagonal
+    rhs_s (Ec,): switch RHS (-g_s scaled)
+    """
+
+    Dh: jax.Array
+    Bh: jax.Array
+    Aba_h: jax.Array
+    rhs_n: jax.Array
+    chb: jax.Array
+    cha: jax.Array
+    ds_inv: jax.Array
+    rhs_s: jax.Array
+
+
+def schur_reduce(gn: GNBlocks, problem: Problem, scale_n, scale_s, lm_n, lm_s
+                 ) -> ReducedSystem:
+    dt = gn.D.dtype
+    # scale + damp node diagonal
+    Dh = gn.D * scale_n[:, :, None] * scale_n[:, None, :]
+    Dh = Dh + jnp.eye(6, dtype=dt) * lm_n[:, None, :]
+    # scale band: Bh[f,u] couples u with u-f
+    Bh_list = []
+    for f in range(problem.fanout):
+        s2 = shift_down(scale_n, f + 1)
+        Bh_list.append(gn.B[f] * scale_n[:, :, None] * s2[:, None, :])
+    Bh = jnp.stack(Bh_list)
+    # scale loop blocks and couplings
+    sb = scale_n[problem.loop_b]
+    sa = scale_n[problem.loop_a]
+    Aba_h = gn.Aba * sb[:, :, None] * sa[:, None, :]
+    chb = gn.cb * sb * scale_s[:, None]
+    cha = gn.ca * sa * scale_s[:, None]
+    ds_h = gn.ds * scale_s * scale_s + lm_s
+    ds_inv = 1.0 / ds_h
+
+    # Schur corrections
+    w = ds_inv[:, None, None]
+    Dh = Dh.at[problem.loop_b].add(-w * chb[:, :, None] * chb[:, None, :])
+    Dh = Dh.at[problem.loop_a].add(-w * cha[:, :, None] * cha[:, None, :])
+    Aba_h = Aba_h - w * chb[:, :, None] * cha[:, None, :]
+
+    # RHS: b = -g (scaled); reduced bn' = bn - Hns Hss^-1 bs
+    rhs_s = -gn.g_s * scale_s
+    rhs_n = -gn.g_n * scale_n
+    corr = ds_inv * rhs_s
+    rhs_n = rhs_n.at[problem.loop_b].add(-chb * corr[:, None])
+    rhs_n = rhs_n.at[problem.loop_a].add(-cha * corr[:, None])
+
+    # project out frozen nodes (free_mask = 0): rows/cols -> 0, diag -> I,
+    # rhs -> 0, so their CG update is exactly zero while their poses still
+    # constrain free nodes through the residuals (the reference's
+    # SetParameterBlockConstant semantics for checkpoint-restored nodes)
+    free = problem.free_mask
+    fb = free[problem.loop_b]
+    fa = free[problem.loop_a]
+    Dh = Dh * free[:, None, None] + jnp.eye(6, dtype=dt) * (1.0 - free)[:, None, None]
+    for f in range(problem.fanout):
+        Bh = Bh.at[f].multiply(
+            (free * shift_down(free, f + 1))[:, None, None]
+        )
+    Aba_h = Aba_h * (fb * fa)[:, None, None]
+    chb = chb * fb[:, None]
+    cha = cha * fa[:, None]
+    rhs_n = rhs_n * free[:, None]
+
+    return ReducedSystem(Dh=Dh, Bh=Bh, Aba_h=Aba_h, rhs_n=rhs_n,
+                         chb=chb, cha=cha, ds_inv=ds_inv, rhs_s=rhs_s)
+
+
+def reduced_matvec(red: ReducedSystem, problem: Problem, p_n):
+    """y = H_reduced p over nodes only (scaling/damping baked in)."""
+    F = problem.fanout
+    y = jnp.einsum("uij,uj->ui", red.Dh, p_n)
+    for f in range(F):
+        Bf = red.Bh[f]
+        y = y + jnp.einsum("uij,uj->ui", Bf, shift_down(p_n, f + 1))
+        y = y + shift_up(jnp.einsum("uij,ui->uj", Bf, p_n), f + 1)
+    xb = p_n[problem.loop_b]
+    xa = p_n[problem.loop_a]
+    y = y.at[problem.loop_b].add(jnp.einsum("eij,ej->ei", red.Aba_h, xa))
+    y = y.at[problem.loop_a].add(jnp.einsum("eij,ei->ej", red.Aba_h, xb))
+    return y
+
+
+def recover_switches(red: ReducedSystem, problem: Problem, x_n):
+    """xs = Hss^-1 (bs - Hsn xn), then un-scale happens in the caller."""
+    xb = x_n[problem.loop_b]
+    xa = x_n[problem.loop_a]
+    coupling = jnp.sum(red.chb * xb, axis=-1) + jnp.sum(red.cha * xa, axis=-1)
+    return red.ds_inv * (red.rhs_s - coupling)
+
+
 def block_jacobi_precond(gn: GNBlocks, scale_n, scale_s, lm_n, lm_s):
     """Inverse 6x6 diagonal blocks of the scaled+damped system (+ switch
     scalars). The analog of Ceres' JACOBI/ SCHUR_JACOBI preconditioners, on

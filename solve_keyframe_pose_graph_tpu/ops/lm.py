@@ -31,9 +31,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from solve_keyframe_pose_graph_tpu.ops import band as band_ops
 from solve_keyframe_pose_graph_tpu.ops import gn as gn_ops
 from solve_keyframe_pose_graph_tpu.ops import pcg as pcg_ops
 from solve_keyframe_pose_graph_tpu.ops import se3
+from solve_keyframe_pose_graph_tpu.ops import smallinv
 from solve_keyframe_pose_graph_tpu.solver.problem import Problem
 
 MIN_LM_DIAGONAL = 1e-6
@@ -81,25 +83,58 @@ def _apply_step(q, t, s, dx_n, dx_s, node_mask, renormalize: bool):
 @partial(
     jax.jit,
     static_argnames=(
-        "max_iterations", "max_cg_iterations", "renormalize",
+        "max_iterations", "max_cg_iterations", "renormalize", "preconditioner",
+        "freeze_preconditioner",
     ),
 )
 def lm_solve(
     problem: Problem,
     *,
     max_iterations: int = 10,
-    max_cg_iterations: int = 500,
+    max_cg_iterations: int = 100,
     cg_tolerance: float = 1e-7,
+    cg_q_tolerance: float = 0.1,    # Ceres' eta forcing-sequence default
     initial_radius: float = 1e4,
     function_tolerance: float = 1e-6,
     parameter_tolerance: float = 1e-8,
     renormalize: bool = True,
+    preconditioner: str = "band",   # "band" (BCR, default) | "jacobi"
+    freeze_preconditioner: bool = False,  # factor once per solve (stale but
+                                          # cheap) vs once per LM iteration
 ) -> LMResult:
     dt = problem.dtype
     f32 = lambda v: jnp.asarray(v, dt)
 
     q0, t0, s0 = problem.q, problem.t, problem.switch
     cost0 = gn_ops.evaluate_cost(problem, q0, t0, s0)
+
+    def make_precond(red):
+        """Build the preconditioner application for a ReducedSystem."""
+        if preconditioner == "band":
+            A_band, C_band, _ = band_ops.build_band_system(
+                red.Dh, red.Bh, group=problem.fanout
+            )
+            fac = band_ops.bcr_factorize(A_band, C_band, group=problem.fanout)
+            return lambda r: band_ops.band_precond_apply(fac, r)
+        Minv = smallinv.gauss_jordan_inv(red.Dh)
+        return lambda r: jnp.einsum("uij,uj->ui", Minv, r)
+
+    pc_frozen = None
+    if freeze_preconditioner:
+        # Factor ONCE per solve from the initial linearization/trust region.
+        # Staleness after big early steps costs CG iterations, so this is
+        # worthwhile only when factorization dominates (huge graphs).
+        blocks0 = gn_ops.assemble(problem, q0, t0, s0)
+        diag_n0 = jnp.diagonal(blocks0.D, axis1=-2, axis2=-1)
+        scale_n0 = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag_n0, 0)))
+        scale_s0 = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(blocks0.ds, 0)))
+        lm_n0 = jnp.clip(diag_n0 * scale_n0**2, MIN_LM_DIAGONAL,
+                         MAX_LM_DIAGONAL) / initial_radius
+        lm_s0 = jnp.clip(blocks0.ds * scale_s0**2, MIN_LM_DIAGONAL,
+                         MAX_LM_DIAGONAL) / initial_radius
+        red0 = gn_ops.schur_reduce(blocks0, problem, scale_n0, scale_s0,
+                                   lm_n0, lm_s0)
+        pc_frozen = make_precond(red0)
 
     def body(state: _LoopState) -> _LoopState:
         blocks = gn_ops.assemble(problem, state.q, state.t, state.s)
@@ -118,17 +153,23 @@ def lm_solve(
         g_n_hat = blocks.g_n * scale_n
         g_s_hat = blocks.g_s * scale_s
 
+        # full (node+switch) operator — used for the model-cost evaluation
         mv = lambda pn, ps: gn_ops.matvec(
             blocks, problem, pn, ps, scale_n, scale_s, lm_n, lm_s
         )
-        Minv, ms_inv = gn_ops.block_jacobi_precond(blocks, scale_n, scale_s, lm_n, lm_s)
-        pc = lambda rn, rs: gn_ops.apply_precond(Minv, ms_inv, rn, rs)
 
-        sol = pcg_ops.pcg(
-            mv, pc, -g_n_hat, -g_s_hat,
-            max_iterations=max_cg_iterations, tolerance=cg_tolerance,
+        # switch-eliminated node system for the CG solve
+        red = gn_ops.schur_reduce(blocks, problem, scale_n, scale_s, lm_n, lm_s)
+        mv_red = lambda p: gn_ops.reduced_matvec(red, problem, p)
+        pc = pc_frozen if freeze_preconditioner else make_precond(red)
+
+        sol = pcg_ops.pcg_nodes(
+            mv_red, pc, red.rhs_n,
+            max_iterations=max_cg_iterations, r_tolerance=cg_tolerance,
+            q_tolerance=cg_q_tolerance,
         )
-        dxh_n, dxh_s = sol.x_n, sol.x_s
+        dxh_n = sol.x
+        dxh_s = gn_ops.recover_switches(red, problem, dxh_n)
 
         # model cost change: -g'.dx' - 0.5 dx'.H'.dx'
         # (H' without the LM diagonal, per Ceres' model)
@@ -143,7 +184,7 @@ def lm_solve(
         dx_n = dxh_n * scale_n
         dx_s = dxh_s * scale_s
         q_new, t_new, s_new = _apply_step(
-            state.q, state.t, state.s, dx_n, dx_s, problem.node_mask, renormalize
+            state.q, state.t, state.s, dx_n, dx_s, problem.free_mask, renormalize
         )
         new_cost = gn_ops.evaluate_cost(problem, q_new, t_new, s_new)
 
@@ -218,8 +259,10 @@ def solve_problem(problem: Problem, solver_cfg) -> LMResult:
         max_iterations=solver_cfg.max_lm_iterations,
         max_cg_iterations=solver_cfg.max_cg_iterations,
         cg_tolerance=solver_cfg.cg_tolerance,
+        cg_q_tolerance=solver_cfg.cg_q_tolerance,
         initial_radius=solver_cfg.initial_trust_region_radius,
         function_tolerance=solver_cfg.function_tolerance,
         parameter_tolerance=solver_cfg.parameter_tolerance,
         renormalize=solver_cfg.renormalize,
+        preconditioner=solver_cfg.preconditioner,
     )

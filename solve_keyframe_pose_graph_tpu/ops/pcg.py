@@ -25,6 +25,76 @@ class PCGResult(NamedTuple):
     rel_residual: jax.Array    # final ||r|| / ||b||
 
 
+class PCGNodesResult(NamedTuple):
+    x: jax.Array
+    iterations: jax.Array
+    rel_residual: jax.Array
+
+
+def pcg_nodes(
+    matvec: Callable,          # x -> H x
+    precond: Callable,         # r -> M^-1 r
+    b: jax.Array,
+    *,
+    max_iterations: int,
+    r_tolerance: float,
+    q_tolerance: float = 0.0,
+) -> PCGNodesResult:
+    """PCG over a single (node) vector with Ceres' two stopping rules:
+
+    * residual rule: ||r|| <= r_tolerance * ||b||
+    * Q rule (conjugate_gradients_solver.cc): track the quadratic model
+      Q(x) = -0.5 x.(b + r); stop when the per-iteration relative
+      improvement zeta = k (Q_k - Q_{k-1}) / Q_k drops below q_tolerance.
+      This is the "forcing sequence" that makes inexact-Newton LM cheap:
+      inner iterations stop as soon as they no longer move the outer model.
+    """
+    dt = b.dtype
+    b_norm = jnp.sqrt(jnp.vdot(b, b))
+    threshold = r_tolerance * b_norm
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    Q0 = jnp.asarray(0.0, dt)
+
+    def cond(state):
+        x, r, p, rz, Q0, k, done = state
+        return jnp.logical_and(k < max_iterations, jnp.logical_not(done))
+
+    def body(state):
+        x, r, p, rz, Q0, k, done = state
+        Ap = matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = rz / jnp.where(pAp <= 0, jnp.asarray(1.0, dt), pAp)
+        alpha = jnp.where(pAp <= 0, jnp.asarray(0.0, dt), alpha)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.where(rz == 0, jnp.asarray(1.0, dt), rz)
+        p = z + beta * p
+
+        k = k + 1
+        Q1 = -0.5 * jnp.vdot(x, b + r)
+        zeta = k.astype(dt) * (Q1 - Q0) / jnp.where(Q1 == 0, jnp.asarray(1.0, dt), Q1)
+        q_done = jnp.logical_and(q_tolerance > 0, jnp.abs(zeta) < q_tolerance)
+        r_done = jnp.sqrt(jnp.vdot(r, r)) <= threshold
+        breakdown = pAp <= 0
+        done = jnp.logical_or(jnp.logical_or(q_done, r_done), breakdown)
+        return x, r, p, rz_new, Q1, k, done
+
+    x, r, p, rz, Q0, k, done = jax.lax.while_loop(
+        cond, body,
+        (x, r, p, rz, Q0, jnp.int32(0), jnp.asarray(False)),
+    )
+    r_norm = jnp.sqrt(jnp.vdot(r, r))
+    rel = r_norm / jnp.where(b_norm == 0, jnp.asarray(1.0, dt), b_norm)
+    return PCGNodesResult(x, k, rel)
+
+
 def _dot(an, as_, bn, bs):
     return jnp.vdot(an, bn) + jnp.vdot(as_, bs)
 

@@ -1,0 +1,384 @@
+"""Streaming solver engine — the reference's solver thread
+`PoseGraphSLAM::reinit_ceres_problem_onnewloopedge_optimize6DOF`
+(/root/reference/src/PoseGraphSLAM.cpp:1251-1950) rebuilt as host
+orchestration around one jitted device solve.
+
+Per trigger (wakes only when new loop edges arrived and not kidnapped):
+  0. allocate opt variables for new nodes (identity init) + switch vars for
+     new edges (0.99 init)                           [reference :1338-1367]
+  1/2. per new loop edge: dead-zone skip; for inter-world first contact,
+     compute wb_T_wa = wb_T_b * b_T_a_obs * (wa_T_a)^-1 from VIO estimates,
+     register in the WorldRegistry (union-merge) and record which worlds'
+     setIDs changed                                  [reference :1381-1559]
+  3. odometry residuals: implicit — the Problem's dense (fanout, N) grid
+     covers every u <-> u-f pair with dead-zone masking [reference :1567-1640]
+  4. initial guesses for ALL nodes via the 4-case (in_change_set,
+     before_solvedUntil) decision table              [reference :1645-1795]
+  5. soft anchors (NodePoseRegularization) on the start node of every world
+     that is its own set root, weight max(1.1, log(1+span)/2), anchored at
+     the CURRENT optimized pose                      [reference :1801-1879]
+  6. one device LM solve (ops/lm.py); solved_until = node_len-1 afterwards
+                                                     [reference :1887-1924]
+
+Status codes match the reference's atomic flag: -1 uninitialized, 0
+sleeping, 1 setting up, 2 solving, 3 done (PoseGraphSLAM.h:100-105).
+
+Capacity bucketing: padded array sizes double on demand; each bucket size
+compiles once (XLA static shapes), so a long run pays O(log N) compiles.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from solve_keyframe_pose_graph_tpu.config import Config
+from solve_keyframe_pose_graph_tpu.graph.store import GraphStore
+from solve_keyframe_pose_graph_tpu.ops.lm import LMResult, lm_solve
+from solve_keyframe_pose_graph_tpu.solver.problem import build_problem_np
+from solve_keyframe_pose_graph_tpu.utils import nse3
+from solve_keyframe_pose_graph_tpu.utils.timing import PhaseTimer
+
+
+def _bucket(n: int, initial: int) -> int:
+    cap = initial
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+class SolverEngine:
+    def __init__(self, store: GraphStore, config: Optional[Config] = None):
+        self.store = store
+        self.config = config or Config()
+
+        cap = self.config.capacity.initial_nodes
+        self._opt_q = np.zeros((cap, 4)); self._opt_q[:, 3] = 1.0
+        self._opt_t = np.zeros((cap, 3))
+        self._opt_frozen = np.zeros(cap, bool)
+        self._n_opt = 0
+
+        ecap = self.config.capacity.initial_edges
+        self._switch = np.full(ecap, self.config.residual.switch_init)
+        self._n_switch = 0
+
+        self.solved_until = 0
+        self.status = -1
+        self.prev_edge_len = 0
+        self.prev_node_len = 0
+        self.trigger_id = 0
+        self.n_solve_convergences = 0
+        self.last_result: Optional[LMResult] = None
+        self.solve_stats: list = []
+        self.timer = PhaseTimer()
+        # worldID -> (old setID, new setID), valid for one trigger
+        self._changes_to_setid: Dict[int, Tuple[int, int]] = {}
+
+    # ------------------------------------------------------------------
+    # opt-variable access (PoseGraphSLAM.h:112-123 getters)
+    # ------------------------------------------------------------------
+
+    def n_opt_variables(self) -> int:
+        return self._n_opt
+
+    def node_pose_exists(self, i: int) -> bool:
+        return 0 <= i < self._n_opt
+
+    def get_node_pose(self, i: int):
+        assert self.node_pose_exists(i), i
+        return self._opt_q[i].copy(), self._opt_t[i].copy()
+
+    def get_switch(self, e: int) -> float:
+        return float(self._switch[e])
+
+    def _grow_nodes(self, n: int):
+        cap = len(self._opt_q)
+        if n <= cap:
+            return
+        new_cap = _bucket(n, cap)
+        q = np.zeros((new_cap, 4)); q[:, 3] = 1.0
+        q[: self._n_opt] = self._opt_q[: self._n_opt]
+        t = np.zeros((new_cap, 3)); t[: self._n_opt] = self._opt_t[: self._n_opt]
+        fr = np.zeros(new_cap, bool); fr[: self._n_opt] = self._opt_frozen[: self._n_opt]
+        self._opt_q, self._opt_t, self._opt_frozen = q, t, fr
+
+    def _grow_switch(self, n: int):
+        cap = len(self._switch)
+        if n <= cap:
+            return
+        new_cap = _bucket(n, cap)
+        s = np.full(new_cap, self.config.residual.switch_init)
+        s[: self._n_switch] = self._switch[: self._n_switch]
+        self._switch = s
+
+    def _set_opt_pose(self, i: int, q, t):
+        self._opt_q[i] = nse3.quat_normalize(q)
+        self._opt_t[i] = t
+
+    # ------------------------------------------------------------------
+    # trigger
+    # ------------------------------------------------------------------
+
+    def trigger(self) -> bool:
+        """One poll of the solver loop. Returns True if a solve ran."""
+        store = self.store
+        node_len = store.node_len
+        edge_len = store.edge_len
+
+        if edge_len == self.prev_edge_len:
+            self.status = 0
+            return False
+        if store.current_kidnap_status:
+            self.status = 0
+            return False
+        if node_len == 0:
+            self.status = 0
+            return False
+
+        self.status = 1
+        self.trigger_id += 1
+        worlds = store.worlds
+        timer = self.timer
+        _t_trigger0 = time.perf_counter()
+
+        # ---- 0: allocate new opt variables
+        self._grow_nodes(node_len)
+        self._grow_switch(edge_len)
+        for u in range(self._n_opt, node_len):
+            # identity init; real guess set below (reference inits with
+            # Identity too, PoseGraphSLAM.cpp:1345)
+            self._opt_q[u] = [0, 0, 0, 1]
+            self._opt_t[u] = 0
+        self._n_opt = max(self._n_opt, node_len)
+        self._n_switch = max(self._n_switch, edge_len)
+
+        with timer.phase("world_mapping"):
+            node_worlds = store.node_worlds()
+
+        # ---- 1/2: new loop edges; inter-world first contact
+        for e in range(self.prev_edge_len, edge_len):
+            a, b = store.edge_idx_info(e)
+            w_a = int(node_worlds[a])
+            w_b = int(node_worlds[b])
+            if w_a < 0 or w_b < 0:
+                continue
+            if w_a == w_b:
+                continue
+            if worlds.is_exist(w_b, w_a):
+                continue
+            # first contact between these worlds: compute wb_T_wa from the
+            # VIO estimates (reference :1459-1464 uses manager poses)
+            qa, ta = store.node_pose(a)     # wa_T_a
+            qb, tb = store.node_pose(b)     # wb_T_b
+            qe, te = store.edge_pose(e)     # b_T_a observed
+            q_wb_a, t_wb_a = nse3.pose_mul(qb, tb, qe, te)
+            q_inv, t_inv = nse3.pose_inv(qa, ta)
+            q_rel, t_rel = nse3.pose_mul(q_wb_a, t_wb_a, q_inv, t_inv)
+
+            before = worlds.get_world_to_setid_map()
+            worlds.set_pose_between_worlds(
+                w_b, w_a, q_rel, t_rel,
+                f"this pose computed from edge {a} <--> {b}",
+            )
+            after = worlds.get_world_to_setid_map()
+            self._changes_to_setid.clear()
+            for wid, sid_before in before.items():
+                if after[wid] != sid_before:
+                    self._changes_to_setid[wid] = (sid_before, after[wid])
+
+        # ---- 4: initial guesses, 4-case table (reference :1645-1795)
+        _t_guess0 = time.perf_counter()
+        su = self.solved_until
+        su_world = int(node_worlds[su]) if node_len else 0
+        if su_world < 0:
+            su_world = -su_world - 1
+        for u in range(node_len):
+            w_u = int(node_worlds[u])
+            set_u = worlds.find_setID_of_world_i(w_u)
+            if set_u < 0:
+                continue  # kidnapped node: keep its current value
+
+            if set_u != w_u:
+                q_sw, t_sw = worlds.get_pose_between_worlds(set_u, w_u)
+            else:
+                q_sw, t_sw = nse3.quat_identity(), np.zeros(3)
+
+            before_su = u <= su
+            in_change = w_u in self._changes_to_setid
+
+            if in_change and before_su:
+                old_sid, new_sid = self._changes_to_setid[w_u]
+                q_ch, t_ch = worlds.get_pose_between_worlds(new_sid, old_sid)
+                qn, tn = nse3.pose_mul(q_ch, t_ch,
+                                       self._opt_q[u], self._opt_t[u])
+                self._set_opt_pose(u, qn, tn)
+            elif before_su:
+                if su == 0:
+                    qv, tv = store.node_pose(u)
+                    self._set_opt_pose(u, qv, tv)
+                # else: keep current solved value
+            else:
+                # u > solvedUntil (whether or not in change set: the
+                # reference's two branches compute the same update here)
+                if su_world == w_u:
+                    q_l, t_l = store.node_pose(su)           # w_M_last (VIO)
+                    q_u, t_u = store.node_pose(u)            # w_M_u   (VIO)
+                    q_li, t_li = nse3.pose_inv(q_l, t_l)
+                    q_d, t_d = nse3.pose_mul(q_li, t_li, q_u, t_u)
+                    if self.node_pose_exists(su):
+                        q_s, t_s = self._opt_q[su], self._opt_t[su]
+                    else:
+                        q_s, t_s = q_l, t_l
+                    qn, tn = nse3.pose_mul(q_s, t_s, q_d, t_d)
+                    self._set_opt_pose(u, qn, tn)
+                else:
+                    q_u, t_u = store.node_pose(u)
+                    qn, tn = nse3.pose_mul(q_sw, t_sw, q_u, t_u)
+                    self._set_opt_pose(u, qn, tn)
+
+        timer.totals["initial_guesses"] += time.perf_counter() - _t_guess0
+        timer.counts["initial_guesses"] += 1
+
+        # ---- 5: soft anchors on set-root world starts (:1801-1879)
+        prior_idx, prior_q, prior_t, prior_w = [], [], [], []
+        for ww in range(store.n_worlds()):
+            ww_setid = worlds.find_setID_of_world_i(ww)
+            ww_start = store.nodeidx_of_world_i_started(ww)
+            ww_end = store.nodeidx_of_world_i_ended(ww)
+            if ww_start < 0:
+                continue
+            if ww_setid >= 0 and ww_setid == ww:
+                weight = max(1.1, math.log(1 + max(ww_end - ww_start, 0)) / 2.0)
+                prior_idx.append(ww_start)
+                prior_q.append(self._opt_q[ww_start].copy())
+                prior_t.append(self._opt_t[ww_start].copy())
+                prior_w.append(weight)
+
+        self._changes_to_setid.clear()
+
+        # ---- 6: device solve
+        self.status = 2
+        with timer.phase("device_solve"):
+            res = self._solve_device(node_len, edge_len, node_worlds,
+                                     prior_idx, prior_q, prior_t, prior_w)
+            # ONE device->host transfer for everything (each individual
+            # fetch costs a full tunnel round trip)
+            res = jax.device_get(res)
+        self.last_result = res
+
+        # write back
+        with timer.phase("write_back"):
+            q_new = np.asarray(res.q[:node_len], np.float64)
+            t_new = np.asarray(res.t[:node_len], np.float64)
+            sw_new = np.asarray(res.switch[:edge_len], np.float64)
+            active = (node_worlds >= 0) & ~self._opt_frozen[:node_len]
+            self._opt_q[:node_len][active] = q_new[active]
+            self._opt_t[:node_len][active] = t_new[active]
+            self._switch[:edge_len] = sw_new
+
+        self.solved_until = node_len - 1
+        if bool(res.converged):
+            self.n_solve_convergences += 1
+        self.prev_edge_len = edge_len
+        self.prev_node_len = node_len
+        self.status = 3
+        timer.totals["trigger_total"] += time.perf_counter() - _t_trigger0
+        timer.counts["trigger_total"] += 1
+        self.solve_stats.append({
+            "trigger": self.trigger_id,
+            "node_len": node_len,
+            "edge_len": edge_len,
+            "initial_cost": float(res.initial_cost),
+            "final_cost": float(res.final_cost),
+            "lm_iterations": int(res.iterations),
+            "successful_steps": int(res.successful_steps),
+            "cg_iterations": int(res.total_cg_iterations),
+            "trigger_wall_ms": 1000.0 * (time.perf_counter() - _t_trigger0),
+        })
+        self.status = 0
+        return True
+
+    def _solve_device(self, node_len, edge_len, node_worlds,
+                      prior_idx, prior_q, prior_t, prior_w) -> LMResult:
+        store = self.store
+        cfg = self.config
+        cap = cfg.capacity
+
+        ea, eb, eq, et, ew, emask = store.edge_arrays()
+        _, vio_q, vio_t = store.node_arrays()
+
+        # dead-zone masking for edges (reference :1400,1431)
+        loop_valid = emask.copy()
+        if edge_len:
+            wa = node_worlds[ea]
+            wb = node_worlds[eb]
+            loop_valid &= (wa >= 0) & (wb >= 0)
+
+        n_cap = _bucket(node_len, cap.initial_nodes)
+        e_cap = _bucket(max(edge_len, 1), cap.initial_edges)
+        p_cap = _bucket(max(len(prior_idx), 1), 16)
+        dtype = np.float64 if cfg.solver.dtype == "float64" else np.float32
+
+        with self.timer.phase("problem_build"):
+            problem = self._build(node_len, edge_len, node_worlds, prior_idx,
+                                  prior_q, prior_t, prior_w, n_cap, e_cap,
+                                  p_cap, dtype, ea, eb, eq, et, ew, loop_valid,
+                                  vio_q, vio_t)
+        from solve_keyframe_pose_graph_tpu.ops.lm import solve_problem
+        return solve_problem(problem, cfg.solver)
+
+    def _build(self, node_len, edge_len, node_worlds, prior_idx, prior_q,
+               prior_t, prior_w, n_cap, e_cap, p_cap, dtype, ea, eb, eq, et,
+               ew, loop_valid, vio_q, vio_t):
+        cfg = self.config
+        problem = build_problem_np(
+            q=self._opt_q[:node_len], t=self._opt_t[:node_len],
+            vio_q=vio_q, vio_t=vio_t,
+            node_valid=node_worlds >= 0,
+            loop_pairs=np.stack([ea, eb], -1) if edge_len else np.zeros((0, 2), np.int64),
+            loop_q=eq, loop_t=et, loop_w=ew,
+            loop_valid=loop_valid,
+            switch=self._switch[:edge_len],
+            prior_idx=np.asarray(prior_idx, np.int64),
+            prior_q=np.asarray(prior_q).reshape(-1, 4),
+            prior_t=np.asarray(prior_t).reshape(-1, 3),
+            prior_w=np.asarray(prior_w),
+            node_free=~self._opt_frozen[:node_len],
+            n_cap=n_cap, e_cap=e_cap, p_cap=p_cap,
+            fanout=cfg.residual.odometry_fanout,
+            odo_decay=cfg.residual.odometry_decay,
+            odo_yaw_sigma2=cfg.residual.odometry_yaw_sigma2,
+            dtype=dtype,
+        )
+        return problem
+
+    # ------------------------------------------------------------------
+    # checkpoint-restore support (PoseGraphSLAM::load_state, :40-170)
+    # ------------------------------------------------------------------
+
+    def load_state(self, opt_q: np.ndarray, opt_t: np.ndarray) -> None:
+        """Install restored set-frame poses for the first len(opt_q) nodes
+        and freeze them (the reference marks them constant so the live
+        session localizes against the frozen map)."""
+        n = len(opt_q)
+        self._grow_nodes(n)
+        self._opt_q[:n] = opt_q
+        self._opt_t[:n] = opt_t
+        self._opt_frozen[:n] = True
+        self._n_opt = max(self._n_opt, n)
+        self.solved_until = n - 1
+        self.prev_node_len = n
+
+    def run(self, poll_hz: Optional[float] = None, stop_when=None) -> None:
+        """Blocking trigger loop (the reference thread's ros::Rate loop)."""
+        hz = poll_hz or self.config.stream.trigger_poll_hz
+        period = 1.0 / hz
+        while True:
+            if stop_when is not None and stop_when():
+                return
+            if not self.trigger():
+                time.sleep(period)

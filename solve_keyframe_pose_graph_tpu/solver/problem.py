@@ -39,7 +39,7 @@ import numpy as np
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "q", "t", "node_mask",
+        "q", "t", "node_mask", "free_mask",
         "odo_q", "odo_t", "odo_w", "odo_mask",
         "loop_a", "loop_b", "loop_q", "loop_t", "loop_w", "loop_mask",
         "switch",
@@ -52,7 +52,11 @@ class Problem:
     """All device arrays for one LM solve. Shapes (Nc=node capacity,
     F=odometry fan-out, Ec=loop-edge capacity, Pc=prior capacity):
 
-    q (Nc,4) xyzw | t (Nc,3) | node_mask (Nc,)
+    q (Nc,4) xyzw | t (Nc,3) | node_mask (Nc,) | free_mask (Nc,)
+    (node_mask: participates in residuals at all — 0 for padding and kidnap
+     dead zones. free_mask: pose is optimizable — 0 additionally for nodes
+     restored from a checkpoint and held constant, the reference's
+     SetParameterBlockConstant-on-load, PoseGraphSLAM.cpp:126-147.)
     odo_q (F,Nc,4) | odo_t (F,Nc,3) | odo_w (F,Nc) | odo_mask (F,Nc)
     loop_a/b (Ec,) i32 | loop_q (Ec,4) | loop_t (Ec,3) | loop_w (Ec,)
     loop_mask (Ec,) | switch (Ec,)
@@ -63,6 +67,7 @@ class Problem:
     q: jax.Array
     t: jax.Array
     node_mask: jax.Array
+    free_mask: jax.Array
     odo_q: jax.Array
     odo_t: jax.Array
     odo_w: jax.Array
@@ -112,6 +117,7 @@ def empty_problem(n_cap: int, e_cap: int, p_cap: int, fanout: int = 5,
         q=zq,
         t=jnp.zeros((n_cap, 3), dtype),
         node_mask=jnp.zeros((n_cap,), dtype),
+        free_mask=jnp.zeros((n_cap,), dtype),
         odo_q=ozq,
         odo_t=jnp.zeros((f, n_cap, 3), dtype),
         odo_w=jnp.zeros((f, n_cap), dtype),
@@ -151,6 +157,7 @@ def build_problem_np(
     n_cap: int,
     e_cap: int,
     p_cap: int,
+    node_free: np.ndarray | None = None,  # (N,) bool; default = node_valid
     fanout: int = 5,
     odo_decay: float = 0.9,
     odo_yaw_sigma2: float = 6.0,
@@ -175,8 +182,13 @@ def build_problem_np(
     qf = np.zeros((n_cap, 4), dtype); qf[:, 3] = 1.0
     tf = np.zeros((n_cap, 3), dtype)
     nm = np.zeros((n_cap,), dtype)
+    fm = np.zeros((n_cap,), dtype)
     qf[:n] = q; tf[:n] = t
     nm[:n] = node_valid.astype(dtype)
+    if node_free is None:
+        fm[:n] = node_valid.astype(dtype)
+    else:
+        fm[:n] = (node_valid & node_free).astype(dtype)
 
     # --- odometry grid from VIO (float64 host math, then cast)
     q64 = vio_q.astype(np.float64)
@@ -234,6 +246,7 @@ def build_problem_np(
     return dataclasses.replace(
         prob,
         q=jnp.asarray(qf), t=jnp.asarray(tf), node_mask=jnp.asarray(nm),
+        free_mask=jnp.asarray(fm),
         odo_q=jnp.asarray(oq), odo_t=jnp.asarray(ot),
         odo_w=jnp.asarray(ow), odo_mask=jnp.asarray(om),
         loop_a=jnp.asarray(la), loop_b=jnp.asarray(lb),

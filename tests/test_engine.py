@@ -1,0 +1,145 @@
+"""Streaming engine tests: trigger gating, incremental growth, warm starts,
+and multi-world kidnap recovery with inter-world merge (BASELINE configs 3/5).
+
+The kidnap scenario is fully scripted through the same indicator API the
+reference exposes over ROS (NodeDataManager.cpp:763-792) — fault injection
+without hardware, as called out in SURVEY.md section 4."""
+
+import numpy as np
+
+from solve_keyframe_pose_graph_tpu.config import Config, SolverConfig
+from solve_keyframe_pose_graph_tpu.graph.store import GraphStore
+from solve_keyframe_pose_graph_tpu.solver.engine import SolverEngine
+from solve_keyframe_pose_graph_tpu.utils import nse3
+
+S = 1_000_000_000
+T0 = 1000 * S
+
+
+def cfg64():
+    return Config(solver=SolverConfig(dtype="float64"))
+
+
+def yaw_quat(yaw_rad):
+    return np.array([0.0, 0.0, np.sin(yaw_rad / 2), np.cos(yaw_rad / 2)])
+
+
+def test_trigger_gating():
+    store = GraphStore()
+    eng = SolverEngine(store, cfg64())
+    # no data: no solve
+    assert not eng.trigger()
+    store.add_node(T0, nse3.quat_identity(), [0, 0, 0])
+    store.add_node(T0 + S, nse3.quat_identity(), [1, 0, 0])
+    # nodes but no loop edge: no solve (reference :1306-1312)
+    assert not eng.trigger()
+    store.add_loop_edge(store.node_timestamp(1), store.node_timestamp(0),
+                        nse3.quat_identity(), [-1.05, 0, 0], 1.0)
+    assert eng.trigger()
+    assert eng.solved_until == 1
+    # no new edge since: sleeps again
+    assert not eng.trigger()
+    # kidnapped: solver sleeps even with new edges (reference :1314-1319)
+    store.mark_as_kidnapped(T0 + 2 * S)
+    store.mark_as_unkidnapped(T0 + 3 * S)
+    store.add_node(T0 + 4 * S, nse3.quat_identity(), [0, 0, 0])
+    store.mark_as_kidnapped(T0 + 5 * S)
+    store.add_loop_edge(store.node_timestamp(1), store.node_timestamp(0),
+                        nse3.quat_identity(), [-1, 0, 0], 1.0)
+    assert not eng.trigger()                      # currently kidnapped
+    store.mark_as_unkidnapped(T0 + 6 * S)
+    assert eng.trigger()
+
+
+def test_streaming_incremental_growth():
+    """Config 5 shape: feed keyframes continuously, drop loop edges along
+    the way, re-trigger; the watermark and warm-started estimates advance."""
+    rng = np.random.default_rng(0)
+    store = GraphStore()
+    eng = SolverEngine(store, cfg64())
+
+    # ground truth: straight line in x, identity orientation; vio = gt+drift
+    N = 120
+    drift = np.cumsum(rng.normal(scale=0.02, size=(N, 3)), axis=0)
+    for i in range(N):
+        store.add_node(T0 + i * S, nse3.quat_identity(),
+                       np.array([float(i), 0, 0]) + drift[i])
+        if i > 0 and i % 30 == 0:
+            # perfect loop edge to node i-20: b_T_a with b=i-20, a=i
+            b, a = i - 20, i
+            t_rel = np.array([20.0, 0, 0])
+            store.add_loop_edge(store.node_timestamp(a), store.node_timestamp(b),
+                                nse3.quat_identity(), t_rel, 1.0)
+            solved = eng.trigger()
+            assert solved
+            assert eng.solved_until == i
+    assert eng.trigger_id >= 3
+    stats = eng.solve_stats
+    assert all(s["final_cost"] <= s["initial_cost"] for s in stats)
+
+
+def test_multiworld_kidnap_merge():
+    """Config 3: two worlds created by a kidnap; the first inter-world loop
+    edge computes wb_T_wa, union-merges, and re-bases world-1 nodes into the
+    world-0 (set root) frame."""
+    store = GraphStore()
+    eng = SolverEngine(store, cfg64())
+
+    # world 0: gt = x-axis line, vio = gt (exact)
+    n0 = 40
+    for i in range(n0):
+        store.add_node(T0 + i * S, nse3.quat_identity(), [float(i), 0, 0])
+    store.add_loop_edge(store.node_timestamp(30), store.node_timestamp(10),
+                        nse3.quat_identity(), [-20.0, 0, 0], 1.0)
+    assert eng.trigger()
+
+    # kidnap: robot carried to (5, 7) with a 90-degree yaw, new world's VIO
+    # frame starts at identity there
+    store.kidnap_indicator(T0 + int((n0 + 0.5) * S), "kidnapped")
+    # VINS keeps emitting garbage re-init poses during the blackout — these
+    # land in the dead zone (world id < 0) and break the odometry chain
+    # between the worlds, exactly as in the reference's data model
+    for k in range(6):                     # > odometry fanout, so the raw
+        store.add_node(T0 + int((n0 + 1 + k * 0.5) * S), nse3.quat_identity(),
+                       [100.0 + k, -50.0, 0])   # odometry chain is fully cut
+    store.kidnap_indicator(T0 + int((n0 + 4.5) * S), "unkidnapped")
+
+    # world 1 ground truth in world-0 frame: w0_T_w1 = [R(90deg), (5,7,0)]
+    q_w01 = yaw_quat(np.pi / 2)
+    t_w01 = np.array([5.0, 7.0, 0.0])
+    n1 = 30
+    w1_nodes = []
+    for j in range(n1):
+        # vio pose in world-1 frame: straight line along world-1 x
+        idx = store.add_node(T0 + (n0 + 5 + j) * S, nse3.quat_identity(),
+                             [float(j), 0, 0])
+        w1_nodes.append(idx)
+    assert store.which_world_is_this(store.node_timestamp(w1_nodes[0])) == 1
+
+    # inter-world loop edge: a in world 1, b in world 0.
+    a = w1_nodes[10]                       # w1 vio pose (10,0,0)
+    b = 20                                 # w0 pose (20,0,0)
+    # gt pose of a in w0 frame:
+    q_a_w0, t_a_w0 = nse3.pose_mul(q_w01, t_w01, nse3.quat_identity(),
+                                   [10.0, 0, 0])
+    q_b, t_b = nse3.quat_identity(), np.array([20.0, 0, 0])
+    qi, ti = nse3.pose_inv(q_b, t_b)
+    q_bta, t_bta = nse3.pose_mul(qi, ti, q_a_w0, t_a_w0)   # b_T_a observed
+    store.add_loop_edge(store.node_timestamp(a), store.node_timestamp(b),
+                        q_bta, t_bta, 1.0)
+    assert eng.trigger()
+
+    # worlds merged: set of world 1 is world 0
+    assert store.worlds.is_exist(1, 0)
+    assert store.worlds.find_setID_of_world_i(1) == 0
+
+    # every world-1 node should now sit at its gt position in the w0 frame
+    for j, idx in enumerate(w1_nodes):
+        q_gt, t_gt = nse3.pose_mul(q_w01, t_w01, nse3.quat_identity(),
+                                   [float(j), 0, 0])
+        q_est, t_est = eng.get_node_pose(idx)
+        np.testing.assert_allclose(t_est, t_gt, atol=0.2)
+    # dead-zone handling: no nodes exist in the kidnap window here, and
+    # world-0 nodes stayed put
+    q0, t0 = eng.get_node_pose(5)
+    np.testing.assert_allclose(t0, [5.0, 0, 0], atol=0.05)
