@@ -1,0 +1,89 @@
+"""Headline benchmark: one full LM solve on the 5k-node / 10k-loop-edge
+multi-revolution graph (BASELINE.md config 5's graph size), 10 LM iterations
+with switchable constraints — the reference's per-trigger
+ceres::Solve(SPARSE_NORMAL_CHOLESKY, 10 iters) workload
+(/root/reference/src/PoseGraphSLAM.cpp:1270-1272,1887-1924).
+
+Prints ONE JSON line:
+  {"metric": "lm_solve_5k10k_ms", "value": <median ms per solve>,
+   "unit": "ms", "vs_baseline": <100ms-target / value>}
+
+vs_baseline > 1.0 means faster than the BASELINE.json north-star target of
+100 ms per solve on one TPU v5e chip (the reference publishes no numbers of
+its own — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+TARGET_MS = 100.0
+N_NODES = 5000
+N_LOOPS = 10000
+N_CAP = 8192
+E_CAP = 16384
+WARMUP = 2
+REPS = 5
+
+
+def build():
+    from solve_keyframe_pose_graph_tpu.graph import synthetic
+    from solve_keyframe_pose_graph_tpu.solver.problem import build_problem_np
+
+    g = synthetic.circle_graph(n_nodes=N_NODES, n_loops=N_LOOPS, seed=0)
+    return build_problem_np(
+        q=g.vio_q, t=g.vio_t, vio_q=g.vio_q, vio_t=g.vio_t,
+        node_valid=np.ones(g.n_nodes, bool),
+        loop_pairs=g.loop_pairs, loop_q=g.loop_q, loop_t=g.loop_t,
+        loop_w=g.loop_w, loop_valid=np.ones(g.n_loops, bool),
+        switch=np.full(g.n_loops, 0.99),
+        prior_idx=np.array([0]), prior_q=g.vio_q[:1], prior_t=g.vio_t[:1],
+        prior_w=np.array([1.1]),
+        n_cap=N_CAP, e_cap=E_CAP, p_cap=8,
+    ), g
+
+
+def main():
+    import dataclasses
+
+    from solve_keyframe_pose_graph_tpu.ops import lm
+
+    prob, _ = build()
+
+    def solve(p):
+        return lm.lm_solve(p, max_iterations=10)
+
+    # warmup: compile + first executions. NB: on the tunneled axon platform
+    # block_until_ready can return before remote execution completes; a
+    # host fetch of a scalar output is the only reliable execution barrier,
+    # so every measurement below includes one scalar D2H round trip.
+    for _ in range(WARMUP):
+        res = solve(prob)
+        float(res.final_cost)
+
+    times = []
+    for i in range(REPS):
+        # perturb the input each rep (defeats any result caching in the
+        # runtime)
+        p = dataclasses.replace(prob, t=prob.t + np.float32(1e-7 * (i + 1)))
+        float(p.t[0, 0])
+        t0 = time.perf_counter()
+        res = solve(p)
+        float(res.final_cost)
+        times.append((time.perf_counter() - t0) * 1e3)
+
+    ms = float(np.median(times))
+    print(json.dumps({
+        "metric": "lm_solve_5k10k_ms",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(TARGET_MS / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
