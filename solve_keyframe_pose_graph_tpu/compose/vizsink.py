@@ -1,0 +1,82 @@
+"""Trajectory / pose-graph visualization sink (VizPoseGraph analog).
+
+The reference renders to RViz via ros markers (src/VizPoseGraph.{h,cpp});
+here the same primitives are emitted as portable JSON (+ optional NPZ)
+that any viewer can render:
+
+  * per-world line strips of the corrected trajectory, colored by worldID
+    or setID (publishNodesAsLineStrip, VizPoseGraph.cpp:67-165;
+    color choice Composer.cpp:285)
+  * loop-edge line list over corrected endpoints, false-colored by switch
+    value (publishSlamResidueVisual, VizPoseGraph.cpp:378-445)
+  * disjoint-set status (string + JSON; Worlds.cpp:278-363)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from solve_keyframe_pose_graph_tpu.utils import colors
+
+
+class TrajectoryWriter:
+    def __init__(self, out_dir: str, color_by_set: bool = False):
+        self.out_dir = out_dir
+        self.color_by_set = color_by_set
+        os.makedirs(out_dir, exist_ok=True)
+
+    def write(self, composer, tag: str = "final") -> str:
+        """Dump the current composed state. Returns the JSON path."""
+        comp = composer.assemble()
+        store = composer.store
+        worlds = store.worlds
+
+        strips = []
+        if comp is not None:
+            for w in sorted(set(int(x) for x in comp.world_of)):
+                pts = comp.world_polyline(w)
+                if len(pts) == 0:
+                    continue
+                cid = worlds.find_setID_of_world_i(w) if (
+                    self.color_by_set and w >= 0) else w
+                strips.append({
+                    "world_id": int(w),
+                    "set_id": (worlds.find_setID_of_world_i(w)
+                               if w >= 0 else -1),
+                    "color": colors.world_color(cid),
+                    "points": np.asarray(pts).tolist(),
+                })
+
+        edges = []
+        p0, p1, sw = composer.corrected_loop_edges()
+        for k in range(len(sw)):
+            edges.append({
+                "p0": np.asarray(p0[k]).tolist(),
+                "p1": np.asarray(p1[k]).tolist(),
+                "switch": float(sw[k]),
+                "color": colors.false_color(sw[k]),
+            })
+
+        obj = {
+            "strips": strips,
+            "loop_edges": edges,
+            "disjoint_set_status": worlds.disjoint_set_status(),
+            "worlds_status": worlds.status_json(),
+            "solved_until": composer.engine.solved_until,
+        }
+        path = os.path.join(self.out_dir, f"viz_{tag}.json")
+        with open(path, "w") as f:
+            json.dump(obj, f, indent=2)
+
+        if comp is not None:
+            np.savez(
+                os.path.join(self.out_dir, f"viz_{tag}.npz"),
+                q=np.asarray(comp.q), t=np.asarray(comp.t),
+                world_of=np.asarray(comp.world_of),
+                edge_p0=np.asarray(p0), edge_p1=np.asarray(p1),
+                switch=np.asarray(sw),
+            )
+        return path

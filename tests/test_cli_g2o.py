@@ -1,0 +1,152 @@
+"""CLI, g2o I/O, datasets, viz sink, sharding tests (CPU, 8 virtual devices)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from solve_keyframe_pose_graph_tpu import cli
+from solve_keyframe_pose_graph_tpu.graph import datasets, g2o as g2o_io
+from solve_keyframe_pose_graph_tpu.utils import colors, nse3
+
+
+@pytest.fixture(scope="module")
+def sphere_g2o(tmp_path_factory):
+    d = tmp_path_factory.mktemp("g2o")
+    g = datasets.sphere(n_nodes=300, n_loops=80, seed=7)
+    path = str(d / "sphere_small.g2o")
+    g2o_io.save_g2o(path, g)
+    return path, g
+
+
+def test_g2o_roundtrip(sphere_g2o):
+    path, g = sphere_g2o
+    g2 = g2o_io.load_g2o(path)
+    assert g2.n_nodes == g.n_nodes
+    assert g2.n_edges == g.n_edges
+    np.testing.assert_allclose(g2.t, g.t, atol=1e-6)
+    np.testing.assert_allclose(g2.edge_t, g.edge_t, atol=1e-6)
+    np.testing.assert_allclose(g2.edge_info, g.edge_info, atol=1e-4)
+
+
+def test_datasets_have_loops():
+    for name, fn in datasets.DATASETS.items():
+        g = fn(n_nodes=400, n_loops=60, seed=3)
+        odo, loop = g.split_edges()
+        assert odo.sum() == g.n_nodes - 1, name
+        assert loop.sum() >= 40, (name, loop.sum())
+
+
+def test_g2o_edge_convention():
+    """Loop measurement must equal b'_T_a' for our (a', b') pair naming.
+
+    Built from an exact (noise-free) 4-vertex graph: odometry integration
+    reproduces the ground truth, so the loop measurement must match the
+    relative pose computed from the integrated trajectory bit-for-bit."""
+    rng = np.random.default_rng(5)
+    n = 4
+    q = np.zeros((n, 4))
+    t = rng.normal(size=(n, 3))
+    for i in range(n):
+        v = rng.normal(size=4)
+        q[i] = v / np.linalg.norm(v)
+    edges, eq, et = [], [], []
+    for i in range(n - 1):   # exact odometry chain
+        mq, mt = nse3.pose_relative(q[i], t[i], q[i + 1], t[i + 1])
+        edges.append((i, i + 1)); eq.append(mq); et.append(mt)
+    # exact loop 0 -> 3, g2o convention: measurement a_T_b = 0_T_3
+    mq, mt = nse3.pose_relative(q[0], t[0], q[3], t[3])
+    edges.append((0, 3)); eq.append(mq); et.append(mt)
+    g = g2o_io.G2OGraph(
+        q=q, t=t, edges=np.asarray(edges, np.int32),
+        edge_q=np.asarray(eq), edge_t=np.asarray(et),
+        edge_info=np.tile(np.eye(6), (len(edges), 1, 1)), is_2d=False,
+    )
+    inp = g2o_io.g2o_to_problem_inputs(g)
+    (pa, pb) = inp["loop_pairs"][0]
+    assert (pa, pb) == (3, 0)
+    # b'_T_a' from the integrated trajectory must equal the measurement
+    rq, rt = nse3.pose_relative(inp["vio_q"][pb], inp["vio_t"][pb],
+                                inp["vio_q"][pa], inp["vio_t"][pa])
+    sgn = np.sign(rq[3]) * np.sign(inp["loop_q"][0][3])
+    np.testing.assert_allclose(rq * sgn, inp["loop_q"][0], atol=1e-9)
+    np.testing.assert_allclose(rt, inp["loop_t"][0], atol=1e-9)
+
+
+def test_cli_solve_g2o(sphere_g2o, tmp_path):
+    path, _ = sphere_g2o
+    out = str(tmp_path / "opt.json")
+    rc = cli.main(["solve", "--input", path, "--output", out,
+                   "--viz-dir", str(tmp_path), "--max-iters", "6"])
+    assert rc == 0
+    sol = json.load(open(out))
+    assert len(sol["nodes"]) == 300
+    assert sol["solved_until"] == 299
+    assert sol["last_solve"]["final_cost"] < sol["last_solve"]["initial_cost"]
+    viz = json.load(open(tmp_path / "viz_solve.json"))
+    assert viz["strips"] and viz["loop_edges"]
+    npz = np.load(tmp_path / "viz_solve.npz")
+    assert npz["t"].shape == (300, 3)
+
+
+def test_cli_roundtrip_store_json(sphere_g2o, tmp_path):
+    """g2o -> store -> log_posegraph.json -> store parity, then ablate."""
+    path, _ = sphere_g2o
+    store = cli._store_from_input(path)
+    jpath = str(tmp_path / "log_posegraph.json")
+    store.save_as_json(jpath)
+    rc = cli.main(["info", "--input", jpath])
+    assert rc == 0
+    rc = cli.main(["ablate", "--input", jpath, "--edges", "0,1",
+                   "--max-iters", "4",
+                   "--output", str(tmp_path / "ablate.json")])
+    assert rc == 0
+    rep = json.load(open(tmp_path / "ablate.json"))
+    assert len(rep["ablation"]) == 2
+    assert rep["baseline_chi2"] > 0
+
+
+def test_cli_replay(sphere_g2o, tmp_path):
+    path, _ = sphere_g2o
+    out = str(tmp_path / "replay_opt.json")
+    rc = cli.main(["replay", "--input", path, "--output", out,
+                   "--trigger-every", "60", "--max-iters", "4",
+                   "--save-dir", str(tmp_path / "ckpt")])
+    assert rc == 0
+    sol = json.load(open(out))
+    assert sol["solved_until"] == 299
+    assert os.path.exists(tmp_path / "ckpt" / "solved_posegraph.json")
+
+
+def test_colors_deterministic():
+    assert colors.world_color(0) == colors.world_color(0)
+    assert colors.world_color(0) != colors.world_color(1)
+    assert colors.false_color(0.0) == (0.0, 0.0, 0.0)
+    assert colors.false_color(1.0) == (1.0, 1.0, 1.0)
+    r, g, b = colors.false_color(0.5)
+    assert r == 1.0 and 0 < g < 1 and b == 0.0
+
+
+def test_sharded_solve_matches_single_device():
+    """8-way sharded LM solve == unsharded solve (same program, same math)."""
+    import jax
+
+    from solve_keyframe_pose_graph_tpu.ops import lm
+    from solve_keyframe_pose_graph_tpu.parallel import make_mesh, shard_problem
+    import __graft_entry__ as ge
+
+    prob = ge._make_problem(n_nodes=128, n_loops=16, n_cap=128, e_cap=16)
+    res0 = lm.lm_solve(prob, max_iterations=3, max_cg_iterations=10)
+
+    mesh = make_mesh(8)
+    prob_sh = shard_problem(prob, mesh)
+    res1 = lm.lm_solve(prob_sh, max_iterations=3, max_cg_iterations=10)
+    # fp32 reduction order differs across shards -> loose tolerances
+    np.testing.assert_allclose(
+        np.asarray(res0.final_cost), np.asarray(res1.final_cost),
+        rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res0.t), np.asarray(res1.t), atol=1e-2,
+    )
