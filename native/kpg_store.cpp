@@ -1,0 +1,267 @@
+// Native host-runtime core for the TPU pose-graph framework.
+//
+// The reference's state store is C++ (src/NodeDataManager.{h,cpp}); this is
+// its native analog for the new framework: append-only SoA buffers with
+// capacity doubling, O(log N) timestamp->index matching (the reference's
+// linear scan NodeDataManager.cpp:274-299 is a known hot spot), the kidnap
+// interval log, and the timeline->world mapping with the reference's exact
+// boundary conventions (NodeDataManager.cpp:1127-1198).
+//
+// Exposed as a C ABI consumed from Python via ctypes (zero-copy numpy views
+// over the buffers). Thread safety: appends take a mutex; readers see a
+// consistent prefix because lengths are published with release stores after
+// the element is fully written (single-writer-per-array discipline, same
+// contract as the reference's mutex-guarded getters).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <vector>
+
+namespace {
+
+constexpr int64_t kMatchTolNs = 1000000;  // 1 ms, NodeDataManager.cpp:288
+
+struct Store {
+  std::mutex mu;
+
+  // nodes
+  std::vector<int64_t> ts;
+  std::vector<double> q;    // (n,4) xyzw
+  std::vector<double> t;    // (n,3)
+  std::vector<double> cov;  // (n,36)
+  std::atomic<int64_t> n{0};
+
+  // loop edges
+  std::vector<int64_t> ea, eb;
+  std::vector<double> eq;  // (e,4)
+  std::vector<double> et;  // (e,3)
+  std::vector<double> ew;  // (e,)
+  std::atomic<int64_t> e{0};
+
+  // kidnap intervals (ns)
+  std::vector<int64_t> kidnap_starts;
+  std::vector<int64_t> kidnap_ends;
+  bool kidnapped = false;
+
+  explicit Store(int64_t cap) {
+    cap = std::max<int64_t>(cap, 16);
+    reserve_nodes(cap);
+    reserve_edges(std::max<int64_t>(cap / 4, 16));
+  }
+
+  void reserve_nodes(int64_t cap) {
+    ts.reserve(cap);
+    q.reserve(cap * 4);
+    t.reserve(cap * 3);
+    cov.reserve(cap * 36);
+  }
+  void reserve_edges(int64_t cap) {
+    ea.reserve(cap);
+    eb.reserve(cap);
+    eq.reserve(cap * 4);
+    et.reserve(cap * 3);
+    ew.reserve(cap);
+  }
+};
+
+int64_t find_index(const Store* s, int64_t t_ns) {
+  const int64_t n = s->n.load(std::memory_order_acquire);
+  if (n == 0) return -1;
+  // first index with ts >= t_ns - tol  (searchsorted left), then check
+  const int64_t* base = s->ts.data();
+  const int64_t* lo = std::lower_bound(base, base + n, t_ns - kMatchTolNs);
+  const int64_t i = lo - base;
+  if (i < n && std::llabs(base[i] - t_ns) < kMatchTolNs) return i;
+  return -1;
+}
+
+}  // namespace
+
+extern "C" {
+
+Store* kpg_store_new(int64_t initial_capacity) {
+  return new Store(initial_capacity);
+}
+
+void kpg_store_free(Store* s) { delete s; }
+
+// returns node index, or -1 on non-monotonic timestamp
+int64_t kpg_add_node(Store* s, int64_t t_ns, const double* quat_xyzw,
+                     const double* trans, const double* cov36) {
+  std::lock_guard<std::mutex> lock(s->mu);
+  const int64_t n = s->n.load(std::memory_order_relaxed);
+  if (n > 0 && t_ns < s->ts[n - 1]) return -1;
+  double norm = std::sqrt(quat_xyzw[0] * quat_xyzw[0] +
+                          quat_xyzw[1] * quat_xyzw[1] +
+                          quat_xyzw[2] * quat_xyzw[2] +
+                          quat_xyzw[3] * quat_xyzw[3]);
+  if (norm <= 0) norm = 1.0;
+  s->ts.push_back(t_ns);
+  for (int k = 0; k < 4; ++k) s->q.push_back(quat_xyzw[k] / norm);
+  for (int k = 0; k < 3; ++k) s->t.push_back(trans[k]);
+  if (cov36) {
+    s->cov.insert(s->cov.end(), cov36, cov36 + 36);
+  } else {
+    for (int k = 0; k < 36; ++k) s->cov.push_back(0.0);
+  }
+  s->n.store(n + 1, std::memory_order_release);
+  return n;
+}
+
+int64_t kpg_find_indexof_node(const Store* s, int64_t t_ns) {
+  return find_index(s, t_ns);
+}
+
+// returns edge index, or -1 if either timestamp fails to match
+int64_t kpg_add_loop_edge(Store* s, int64_t t_ns_a, int64_t t_ns_b,
+                          const double* quat_xyzw, const double* trans,
+                          double weight) {
+  const int64_t ia = find_index(s, t_ns_a);
+  const int64_t ib = find_index(s, t_ns_b);
+  if (ia < 0 || ib < 0) return -1;
+  return [&]() -> int64_t {
+    std::lock_guard<std::mutex> lock(s->mu);
+    const int64_t e = s->e.load(std::memory_order_relaxed);
+    double norm = std::sqrt(quat_xyzw[0] * quat_xyzw[0] +
+                            quat_xyzw[1] * quat_xyzw[1] +
+                            quat_xyzw[2] * quat_xyzw[2] +
+                            quat_xyzw[3] * quat_xyzw[3]);
+    if (norm <= 0) norm = 1.0;
+    s->ea.push_back(ia);
+    s->eb.push_back(ib);
+    for (int k = 0; k < 4; ++k) s->eq.push_back(quat_xyzw[k] / norm);
+    for (int k = 0; k < 3; ++k) s->et.push_back(trans[k]);
+    s->ew.push_back(weight);
+    s->e.store(e + 1, std::memory_order_release);
+    return e;
+  }();
+}
+
+int64_t kpg_add_loop_edge_by_index(Store* s, int64_t ia, int64_t ib,
+                                   const double* quat_xyzw,
+                                   const double* trans, double weight) {
+  std::lock_guard<std::mutex> lock(s->mu);
+  const int64_t e = s->e.load(std::memory_order_relaxed);
+  double norm = std::sqrt(quat_xyzw[0] * quat_xyzw[0] +
+                          quat_xyzw[1] * quat_xyzw[1] +
+                          quat_xyzw[2] * quat_xyzw[2] +
+                          quat_xyzw[3] * quat_xyzw[3]);
+  if (norm <= 0) norm = 1.0;
+  s->ea.push_back(ia);
+  s->eb.push_back(ib);
+  for (int k = 0; k < 4; ++k) s->eq.push_back(quat_xyzw[k] / norm);
+  for (int k = 0; k < 3; ++k) s->et.push_back(trans[k]);
+  s->ew.push_back(weight);
+  s->e.store(e + 1, std::memory_order_release);
+  return e;
+}
+
+int64_t kpg_node_len(const Store* s) {
+  return s->n.load(std::memory_order_acquire);
+}
+int64_t kpg_edge_len(const Store* s) {
+  return s->e.load(std::memory_order_acquire);
+}
+
+// buffer pointers (valid until the next append that reallocates; Python
+// re-fetches per access)
+const int64_t* kpg_ts_ptr(const Store* s) { return s->ts.data(); }
+const double* kpg_q_ptr(const Store* s) { return s->q.data(); }
+const double* kpg_t_ptr(const Store* s) { return s->t.data(); }
+const double* kpg_cov_ptr(const Store* s) { return s->cov.data(); }
+const int64_t* kpg_ea_ptr(const Store* s) { return s->ea.data(); }
+const int64_t* kpg_eb_ptr(const Store* s) { return s->eb.data(); }
+const double* kpg_eq_ptr(const Store* s) { return s->eq.data(); }
+const double* kpg_et_ptr(const Store* s) { return s->et.data(); }
+const double* kpg_ew_ptr(const Store* s) { return s->ew.data(); }
+
+// ---------------------------------------------------------------------------
+// kidnap state machine (NodeDataManager.cpp:763-852)
+// ---------------------------------------------------------------------------
+
+// returns 0 on success, -1 on state-machine violation
+int kpg_mark_kidnapped(Store* s, int64_t t_ns) {
+  std::lock_guard<std::mutex> lock(s->mu);
+  if (s->kidnapped) return -1;
+  s->kidnapped = true;
+  s->kidnap_starts.push_back(t_ns);
+  return 0;
+}
+
+int kpg_mark_unkidnapped(Store* s, int64_t t_ns) {
+  std::lock_guard<std::mutex> lock(s->mu);
+  if (!s->kidnapped) return -1;
+  s->kidnapped = false;
+  s->kidnap_ends.push_back(t_ns);
+  return 0;
+}
+
+int kpg_is_kidnapped(const Store* s) { return s->kidnapped ? 1 : 0; }
+int64_t kpg_n_kidnap_starts(const Store* s) {
+  return (int64_t)s->kidnap_starts.size();
+}
+int64_t kpg_n_kidnap_ends(const Store* s) {
+  return (int64_t)s->kidnap_ends.size();
+}
+const int64_t* kpg_kidnap_starts_ptr(const Store* s) {
+  return s->kidnap_starts.data();
+}
+const int64_t* kpg_kidnap_ends_ptr(const Store* s) {
+  return s->kidnap_ends.data();
+}
+// restore from checkpoint
+void kpg_set_kidnap_data(Store* s, const int64_t* starts, int64_t n_starts,
+                         const int64_t* ends, int64_t n_ends, int kidnapped) {
+  std::lock_guard<std::mutex> lock(s->mu);
+  s->kidnap_starts.assign(starts, starts + n_starts);
+  s->kidnap_ends.assign(ends, ends + n_ends);
+  s->kidnapped = kidnapped != 0;
+}
+
+// ---------------------------------------------------------------------------
+// timeline -> world mapping, exact branch structure of
+// NodeDataManager.cpp:1127-1198 (negative ids = kidnap dead zones)
+// ---------------------------------------------------------------------------
+
+int kpg_which_world(const Store* s, int64_t t) {
+  const auto& ks = s->kidnap_starts;
+  const auto& ke = s->kidnap_ends;
+  const int64_t nks = (int64_t)ks.size();
+  const int64_t nke = (int64_t)ke.size();
+  if (nks == 0) return 0;
+  if (nks == 1) {
+    if (t < ks[0]) return 0;
+    if (nke == 0) return (t >= ks[0]) ? -1 : 0;
+    return (ks[0] <= t && t <= ke[0]) ? -1 : 1;
+  }
+  if (nks == nke) {
+    int64_t prev = 0;
+    for (int64_t i = 0; i < nks; ++i) {
+      if (prev < t && t <= ks[i]) return (int)i;
+      if (ks[i] < t && t <= ke[i]) return -(int)(i + 1);
+      prev = ke[i];
+    }
+    return (int)nke;
+  }
+  int64_t prev = 0;
+  for (int64_t i = 0; i < nks - 1; ++i) {
+    if (prev < t && t <= ks[i]) return (int)i;
+    if (ks[i] < t && t <= ke[i]) return -(int)(i + 1);
+    prev = ke[i];
+  }
+  const int64_t i = nks - 1;
+  if (ke[i - 1] < t && t <= ks[i]) return (int)i;
+  return -(int)(i + 1);
+}
+
+// bulk: world id for every node (the per-trigger O(N) hot path)
+void kpg_node_worlds(const Store* s, int64_t* out) {
+  const int64_t n = s->n.load(std::memory_order_acquire);
+  for (int64_t i = 0; i < n; ++i) out[i] = kpg_which_world(s, s->ts[i]);
+}
+
+}  // extern "C"

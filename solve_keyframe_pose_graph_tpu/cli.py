@@ -34,8 +34,9 @@ from solve_keyframe_pose_graph_tpu.config import Config
 # ---------------------------------------------------------------------------
 
 
-def _store_from_input(path: str, edge_mask=None):
+def _store_from_input(path: str, edge_mask=None, native: bool = False):
     """GraphStore from a log_posegraph.json dump or a .g2o file."""
+    from solve_keyframe_pose_graph_tpu.graph.native import make_store
     from solve_keyframe_pose_graph_tpu.graph.store import GraphStore
 
     if path.endswith(".g2o"):
@@ -43,7 +44,8 @@ def _store_from_input(path: str, edge_mask=None):
 
         g = g2o_io.load_g2o(path)
         inp = g2o_io.g2o_to_problem_inputs(g)
-        store = GraphStore(initial_capacity=max(g.n_nodes, 16))
+        store = make_store(initial_capacity=max(g.n_nodes, 16),
+                           native=native or None)
         t0 = 1_000_000_000
         dt = 100_000_000
         for i in range(g.n_nodes):
@@ -159,10 +161,11 @@ def cmd_replay(args):
     (ingest callbacks -> trigger loop -> composer), the offline twin of the
     reference's ROS-driven run."""
     cfg = _config_from_args(args)
-    from solve_keyframe_pose_graph_tpu.graph.store import GraphStore
+    from solve_keyframe_pose_graph_tpu.graph.native import make_store
 
     rec = _store_from_input(args.input)   # recorded data, replayed below
-    store = GraphStore(initial_capacity=max(rec.node_len, 16))
+    store = make_store(initial_capacity=max(rec.node_len, 16),
+                       native=getattr(args, "native", False) or None)
     eng, cmp_ = _build_pipeline(store, cfg)
 
     if args.load_dir:
@@ -286,6 +289,8 @@ def main(argv=None):
     p.add_argument("--save-dir", help="checkpoint on exit (saveStateToDisk)")
     p.add_argument("--load-dir", help="restore at start (loadStateFromDisk)")
     p.add_argument("--viz-dir")
+    p.add_argument("--native", action="store_true",
+                   help="require the C++ store core (default: auto)")
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("ablate", help="per-edge chi^2 ablation")
