@@ -111,8 +111,99 @@ def evaluate_cost(problem: Problem, q, t, s) -> jax.Array:
     )
 
 
+def edge_to_node(values, inc, mask):
+    """Sum per-edge quantities onto nodes via padded incidence gathers
+    (values (Ec, ...) -> (Nc, ...)). Kept for reference; flat-36 scatters
+    (scatter_blocks) measured faster at bench scale."""
+    g = values[inc]                               # (Nc, M, ...)
+    m = mask.reshape(mask.shape + (1,) * (values.ndim - 1))
+    return jnp.sum(g * m, axis=1)
+
+
+def scatter_add_blocks(target, idx, blocks):
+    """target (Nc,6,6) .at[idx].add(blocks (E,6,6)) via flat-36 payloads.
+
+    TPU lowers a scatter of (6,6)-shaped updates catastrophically (~0.7 ms at
+    16k edges) but the SAME scatter with (36,)-flat updates is ~free; shapes
+    are reshaped around the scatter."""
+    Nc = target.shape[0]
+    E = blocks.shape[0]
+    flat = target.reshape(Nc, 36).at[idx].add(blocks.reshape(E, 36))
+    return flat.reshape(Nc, 6, 6)
+
+
 def assemble(problem: Problem, q, t, s) -> GNBlocks:
-    """Evaluate residuals + Jacobians and reduce to GN blocks + gradient."""
+    """Direct normal-equation assembly: closed-form J'J blocks (no Jacobian
+    materialization — residuals.six_dof_block_products) and incidence-gather
+    reductions for the loop family (no scatters). Differentially tested
+    against assemble_ref."""
+    F, Nc, Ec = problem.fanout, problem.n_cap, problem.e_cap
+    dt = problem.dtype
+
+    # ---------------- odometry band (dense, shift-aligned) ----------------
+    q1, t1, q2, t2 = _odo_inputs(problem, q, t)
+    w = problem.odo_w * problem.odo_mask
+    r_o, A11, A22, B, gJ1, gJ2 = res.six_dof_block_products(
+        q1, t1, q2, t2, problem.odo_q, problem.odo_t, w
+    )
+    cost = 0.5 * jnp.sum(r_o * r_o)
+    D = jnp.sum(A11, axis=0)
+    g_n = jnp.sum(gJ1, axis=0)
+    for f in range(F):
+        D = D + shift_up(A22[f], f + 1)
+        g_n = g_n + shift_up(gJ2[f], f + 1)
+
+    # ---------------- loop edges (gather-reduced) ----------------
+    qb, tb = q[problem.loop_b], t[problem.loop_b]
+    qa, ta = q[problem.loop_a], t[problem.loop_a]
+    (r_l, Abb, Aaa, Aba, cb, ca, ds, gb, ga, g_s
+     ) = res.six_dof_switch_block_products(
+        qb, tb, qa, ta, s, problem.loop_q, problem.loop_t, problem.loop_w
+    )
+    m = problem.loop_mask
+    mb = m[:, None, None]
+    r_l = r_l * m[:, None]
+    Abb = Abb * mb
+    Aaa = Aaa * mb
+    Aba = Aba * mb
+    cb = cb * m[:, None]
+    ca = ca * m[:, None]
+    ds = jnp.where(m < 0.5, jnp.ones_like(ds), ds)
+    gb = gb * m[:, None]
+    ga = ga * m[:, None]
+    g_s = g_s * m
+    cost = cost + 0.5 * jnp.sum(r_l * r_l)
+
+    D = scatter_add_blocks(D, problem.loop_b, Abb)
+    D = scatter_add_blocks(D, problem.loop_a, Aaa)
+    g_n = g_n.at[problem.loop_b].add(gb)
+    g_n = g_n.at[problem.loop_a].add(ga)
+
+    # ---------------- node priors (tiny; scatter is fine) ----------------
+    qp, tp = q[problem.prior_idx], t[problem.prior_idx]
+    r_p, Ap, gp = res.node_prior_block_products(
+        qp, tp, problem.prior_q, problem.prior_t,
+        problem.prior_w * problem.prior_mask,
+    )
+    pm = problem.prior_mask
+    r_p = r_p * pm[:, None]
+    cost = cost + 0.5 * jnp.sum(r_p * r_p)
+    D = D.at[problem.prior_idx].add(Ap * pm[:, None, None])
+    g_n = g_n.at[problem.prior_idx].add(gp * pm[:, None])
+
+    # ---------------- inert padding ----------------
+    eye = jnp.eye(6, dtype=dt)
+    inactive_n = (problem.node_mask < 0.5)[:, None, None]
+    D = jnp.where(inactive_n, eye, D)
+    g_n = g_n * problem.node_mask[:, None]
+
+    return GNBlocks(cost=cost, D=D, B=B, Aba=Aba, cb=cb, ca=ca, ds=ds,
+                    g_n=g_n, g_s=g_s)
+
+
+def assemble_ref(problem: Problem, q, t, s) -> GNBlocks:
+    """Reference assembly via materialized analytic Jacobians + einsum +
+    scatter-add. Kept as the differential-test oracle for assemble()."""
     F, Nc, Ec = problem.fanout, problem.n_cap, problem.e_cap
     dt = problem.dtype
 
@@ -162,8 +253,8 @@ def assemble(problem: Problem, q, t, s) -> GNBlocks:
     cb = jnp.einsum("eki,ek->ei", L1, Ls)
     ca = jnp.einsum("eki,ek->ei", L2, Ls)
     ds = jnp.sum(Ls * Ls, axis=-1)
-    D = D.at[problem.loop_b].add(Abb)
-    D = D.at[problem.loop_a].add(Aaa)
+    D = scatter_add_blocks(D, problem.loop_b, Abb)
+    D = scatter_add_blocks(D, problem.loop_a, Aaa)
     g_n = g_n.at[problem.loop_b].add(jnp.einsum("eki,ek->ei", L1, r_l))
     g_n = g_n.at[problem.loop_a].add(jnp.einsum("eki,ek->ei", L2, r_l))
     g_s = jnp.einsum("ek,ek->e", Ls, r_l)
@@ -290,8 +381,10 @@ def schur_reduce(gn: GNBlocks, problem: Problem, scale_n, scale_s, lm_n, lm_s
 
     # Schur corrections
     w = ds_inv[:, None, None]
-    Dh = Dh.at[problem.loop_b].add(-w * chb[:, :, None] * chb[:, None, :])
-    Dh = Dh.at[problem.loop_a].add(-w * cha[:, :, None] * cha[:, None, :])
+    Dh = scatter_add_blocks(Dh, problem.loop_b,
+                            -w * chb[:, :, None] * chb[:, None, :])
+    Dh = scatter_add_blocks(Dh, problem.loop_a,
+                            -w * cha[:, :, None] * cha[:, None, :])
     Aba_h = Aba_h - w * chb[:, :, None] * cha[:, None, :]
 
     # RHS: b = -g (scaled); reduced bn' = bn - Hns Hss^-1 bs
@@ -323,7 +416,8 @@ def schur_reduce(gn: GNBlocks, problem: Problem, scale_n, scale_s, lm_n, lm_s
 
 
 def reduced_matvec(red: ReducedSystem, problem: Problem, p_n):
-    """y = H_reduced p over nodes only (scaling/damping baked in)."""
+    """y = H_reduced p over nodes only (scaling/damping baked in).
+    Scatter-free: loop-edge rows reduce through incidence gathers."""
     F = problem.fanout
     y = jnp.einsum("uij,uj->ui", red.Dh, p_n)
     for f in range(F):

@@ -151,12 +151,6 @@ def lm_solve(
         lm_s = d2_s / state.radius
 
         g_n_hat = blocks.g_n * scale_n
-        g_s_hat = blocks.g_s * scale_s
-
-        # full (node+switch) operator — used for the model-cost evaluation
-        mv = lambda pn, ps: gn_ops.matvec(
-            blocks, problem, pn, ps, scale_n, scale_s, lm_n, lm_s
-        )
 
         # switch-eliminated node system for the CG solve
         red = gn_ops.schur_reduce(blocks, problem, scale_n, scale_s, lm_n, lm_s)
@@ -171,13 +165,21 @@ def lm_solve(
         dxh_n = sol.x
         dxh_s = gn_ops.recover_switches(red, problem, dxh_n)
 
-        # model cost change: -g'.dx' - 0.5 dx'.H'.dx'
-        # (H' without the LM diagonal, per Ceres' model)
-        Av_n, Av_s = mv(dxh_n, dxh_s)
-        H_dx_n = Av_n - lm_n * dxh_n
-        H_dx_s = Av_s - lm_s * dxh_s
-        gTdx = jnp.vdot(g_n_hat, dxh_n) + jnp.vdot(g_s_hat, dxh_s)
-        dxHdx = jnp.vdot(dxh_n, H_dx_n) + jnp.vdot(dxh_s, H_dx_s)
+        # model cost change: -g'.dx' - 0.5 dx'.H'.dx' (H' without the LM
+        # diagonal, per Ceres' model), computed from REDUCED quantities — no
+        # full matvec. With S = scaled+damped H, u = 1/ds_h, bs = rhs_s,
+        # bn = -g' (pre-reduction), and xs recovered exactly as u(bs - c):
+        #   dx'.S dx' = xn.(H_red xn) + sum(u bs^2)      [c-terms telescope]
+        #   H_red xn  = rhs_n - r_cg                      [CG recurrence]
+        #   g'.dx'    = -(bn.xn + bs.xs)
+        #   dx'.H'dx' = dx'.S dx' - lm_n.xn^2 - lm_s.xs^2
+        bs = red.rhs_s
+        quad_S = jnp.vdot(dxh_n, red.rhs_n - sol.r) + jnp.vdot(
+            red.ds_inv * bs, bs)
+        quad_lm = jnp.vdot(lm_n * dxh_n, dxh_n) + jnp.vdot(
+            lm_s * dxh_s, dxh_s)
+        dxHdx = quad_S - quad_lm
+        gTdx = jnp.vdot(g_n_hat, dxh_n) - jnp.vdot(bs, dxh_s)
         model_cost_change = -gTdx - 0.5 * dxHdx
 
         # un-scale and apply

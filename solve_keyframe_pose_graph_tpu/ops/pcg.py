@@ -29,6 +29,7 @@ class PCGNodesResult(NamedTuple):
     x: jax.Array
     iterations: jax.Array
     rel_residual: jax.Array
+    r: jax.Array               # final residual b - A x (exact by recurrence)
 
 
 def pcg_nodes(
@@ -92,7 +93,7 @@ def pcg_nodes(
     )
     r_norm = jnp.sqrt(jnp.vdot(r, r))
     rel = r_norm / jnp.where(b_norm == 0, jnp.asarray(1.0, dt), b_norm)
-    return PCGNodesResult(x, k, rel)
+    return PCGNodesResult(x, k, rel, r)
 
 
 def _dot(an, as_, bn, bs):

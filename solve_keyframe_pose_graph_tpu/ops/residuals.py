@@ -167,10 +167,215 @@ def _unary_jac(residual_fn):
     return jax.vmap(single)
 
 
-# Public batched evaluators. Each returns residual rows and Jacobian blocks;
-# callers multiply by the (0/1) mask.
-six_dof_residual_jac = _binary_jac(six_dof_residual, 6)
-six_dof_switch_residual_jac = _binary_switch_jac(six_dof_switch_residual, 7)
+# Autodiff evaluators (exact oracle; 12-13 JVP columns each -> used for the
+# non-hot 4-dof path and as the test reference for the analytic versions).
+six_dof_residual_jac_ad = _binary_jac(six_dof_residual, 6)
+six_dof_switch_residual_jac_ad = _binary_switch_jac(six_dof_switch_residual, 7)
 four_dof_residual_jac = _binary_jac(four_dof_residual, 6)
 four_dof_switch_residual_jac = _binary_switch_jac(four_dof_switch_residual, 7)
-node_prior_residual_jac = _unary_jac(node_prior_residual)
+node_prior_residual_jac_ad = _unary_jac(node_prior_residual)
+
+
+# ---------------------------------------------------------------------------
+# analytic Jacobians (the hot path: one evaluation instead of 13 JVP columns)
+#
+# With the left increment q' = [delta, 1] (x) q (se3.quat_box_plus at 0,
+# R(dq) ~ I + 2[delta]_x), the 6-dof core
+#     delta_t = R2^T (R1 obs_t + t1 - t2)
+#     e       = 2 vec(q2^-1 (x) q1 (x) obs_q)
+# differentiates in closed form; both rotation-row blocks share
+#     M = 2 [ (b_w I - [b_v]_x)(a_w I + [a_v]_x) - b_v a_v^T ],
+# a = q2^-1, b = q1 (x) obs_q:
+#     de/ddelta1 = M,  de/ddelta2 = -M
+#     ddelta_t/ddelta1 = -2 R2^T [R1 obs_t]_x
+#     ddelta_t/ddelta2 = +2 R2^T [u]_x,   u = R1 obs_t + t1 - t2
+#     ddelta_t/dt1 = R2^T,  ddelta_t/dt2 = -R2^T.
+# Verified against the autodiff versions in tests/test_residuals.py.
+# ---------------------------------------------------------------------------
+
+
+def _rot_row_M(q2, q1, obs_q):
+    """Shared 3x3 block of the rotation-row Jacobians (see derivation)."""
+    a = se3.quat_conj(q2)
+    b = se3.quat_mul(q1, obs_q)
+    av, aw = a[..., :3], a[..., 3:4]
+    bv, bw = b[..., :3], b[..., 3:4]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=q1.dtype), av.shape + (3,))
+    left = bw[..., None] * eye - se3.skew(bv)
+    right = aw[..., None] * eye + se3.skew(av)
+    M = left @ right - bv[..., :, None] * av[..., None, :]
+    return 2.0 * M
+
+
+def _six_dof_core_and_jac(q1, t1, q2, t2, obs_q, obs_t):
+    """core (...,6) and J1, J2 (...,6,6); tangent cols [dtheta(3), dt(3)]."""
+    R1o = se3.quat_rotate(q1, obs_t)
+    u = R1o + t1 - t2
+    q2c = se3.quat_conj(q2)
+    R2T = se3.quat_to_rot(q2c)
+    delta_t = se3.quat_rotate(q2c, u)
+    delta_q = se3.quat_mul(se3.quat_mul(q2c, q1), obs_q)
+    core = jnp.concatenate([delta_t, 2.0 * delta_q[..., :3]], axis=-1)
+
+    M = _rot_row_M(q2, q1, obs_q)
+    dt_dth1 = -2.0 * (R2T @ se3.skew(R1o))
+    dt_dth2 = 2.0 * (R2T @ se3.skew(u))
+    zero = jnp.zeros_like(M)
+
+    J1 = jnp.concatenate([
+        jnp.concatenate([dt_dth1, R2T], axis=-1),
+        jnp.concatenate([M, zero], axis=-1),
+    ], axis=-2)
+    J2 = jnp.concatenate([
+        jnp.concatenate([dt_dth2, -R2T], axis=-1),
+        jnp.concatenate([-M, zero], axis=-1),
+    ], axis=-2)
+    return core, J1, J2
+
+
+def six_dof_residual_jac(q1, t1, q2, t2, obs_q, obs_t, weight):
+    """(r, J1, J2) for the weighted 6-dof residual — analytic."""
+    core, J1, J2 = _six_dof_core_and_jac(q1, t1, q2, t2, obs_q, obs_t)
+    w = weight[..., None]
+    return core * w, J1 * w[..., None], J2 * w[..., None]
+
+
+def six_dof_switch_residual_jac(q1, t1, q2, t2, s, obs_q, obs_t, weight):
+    """(r, J1, J2, Js) for the 7-row switch residual — analytic.
+
+    r = s * [core; 1-s]  =>  dr/dnode = s * [J_core; 0],
+    dr/ds = [core; 1 - 2 s]. Weight ignored (reference quirk)."""
+    del weight
+    core, J1c, J2c = _six_dof_core_and_jac(q1, t1, q2, t2, obs_q, obs_t)
+    sN = s[..., None]
+    r = jnp.concatenate([core * sN, (s * (1.0 - s))[..., None]], axis=-1)
+    zrow = jnp.zeros_like(J1c[..., :1, :])
+    J1 = jnp.concatenate([J1c * sN[..., None], zrow], axis=-2)
+    J2 = jnp.concatenate([J2c * sN[..., None], zrow], axis=-2)
+    Js = jnp.concatenate([core, (1.0 - 2.0 * s)[..., None]], axis=-1)
+    return r, J1, J2, Js
+
+
+# ---------------------------------------------------------------------------
+# direct normal-equation block products (no Jacobian materialization)
+#
+# R2's orthogonality collapses every J^T J block to closed form. With
+# v = R1 obs_t, u = v + t1 - t2 (so the translation rows are R2^T u), and
+# M the shared rotation-row block:
+#   A11 = J1'J1 = [[4(|v|^2 I - v v') + M'M,  2[v]x], [-2[v]x, I]]
+#   A22 = J2'J2 = [[4(|u|^2 I - u u') + M'M,  2[u]x], [-2[u]x, I]]
+#   B12 = J1'J2 = [[4(u v' - (u.v) I) - M'M, -2[v]x], [ 2[u]x, -I]]
+# and the gradients (z = R2 r_t = u exactly):
+#   g1 = J1'r = [2 v x u + M' r_e;  u]
+#   g2 = J2'r = [       - M' r_e; -u]        (u x u = 0)
+# Verified against einsum(J, J) of the analytic Jacobians in tests.
+# ---------------------------------------------------------------------------
+
+
+def _blk(tl, tr, bl, br):
+    top = jnp.concatenate([tl, tr], axis=-1)
+    bot = jnp.concatenate([bl, br], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _six_dof_products_core(q1, t1, q2, t2, obs_q, obs_t):
+    v = se3.quat_rotate(q1, obs_t)
+    u = v + t1 - t2
+    q2c = se3.quat_conj(q2)
+    delta_t = se3.quat_rotate(q2c, u)
+    delta_q = se3.quat_mul(se3.quat_mul(q2c, q1), obs_q)
+    core_e = 2.0 * delta_q[..., :3]
+    core = jnp.concatenate([delta_t, core_e], axis=-1)
+
+    M = _rot_row_M(q2, q1, obs_q)
+    MtM = jnp.einsum("...ki,...kj->...ij", M, M)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=q1.dtype), MtM.shape)
+
+    def ssq(w3):   # |w|^2 I - w w'
+        n2 = jnp.sum(w3 * w3, axis=-1)[..., None, None]
+        return n2 * eye - w3[..., :, None] * w3[..., None, :]
+
+    sv, su = se3.skew(v), se3.skew(u)
+    A11 = _blk(4.0 * ssq(v) + MtM, 2.0 * sv, -2.0 * sv, eye)
+    A22 = _blk(4.0 * ssq(u) + MtM, 2.0 * su, -2.0 * su, eye)
+    uv = jnp.sum(u * v, axis=-1)[..., None, None]
+    uvT = u[..., :, None] * v[..., None, :]
+    B12 = _blk(4.0 * (uvT - uv * eye) - MtM, -2.0 * sv, 2.0 * su, -eye)
+
+    Mte = jnp.einsum("...ki,...k->...i", M, core_e)
+    g1 = jnp.concatenate([2.0 * jnp.cross(v, u) + Mte, u], axis=-1)
+    g2 = jnp.concatenate([-Mte, -u], axis=-1)
+    return core, A11, A22, B12, g1, g2
+
+
+def six_dof_block_products(q1, t1, q2, t2, obs_q, obs_t, weight):
+    """(r, A11, A22, B12, g1, g2) for the weighted 6-dof residual.
+    r = w * core; blocks = w^2 J'J; grads = w^2 J'core (= J_w' r_w)."""
+    core, A11, A22, B12, g1, g2 = _six_dof_products_core(
+        q1, t1, q2, t2, obs_q, obs_t)
+    w = weight[..., None]
+    w2 = (weight * weight)[..., None]
+    return (core * w, A11 * w2[..., None], A22 * w2[..., None],
+            B12 * w2[..., None], g1 * w2, g2 * w2)
+
+
+def six_dof_switch_block_products(q1, t1, q2, t2, s, obs_q, obs_t, weight):
+    """(r, A11, A22, B12, c1, c2, ds, g1, g2, gs) for the 7-row switch
+    residual (weight ignored — reference quirk):
+      r = [s*core, s(1-s)];  node blocks = s^2 * (core blocks)
+      c1 = J1'Js = s * g1c,  c2 = s * g2c,  ds = |core|^2 + (1-2s)^2
+      g1 = s^2 g1c,  g2 = s^2 g2c,  gs = s|core|^2 + s(1-s)(1-2s)."""
+    del weight
+    core, A11, A22, B12, g1c, g2c = _six_dof_products_core(
+        q1, t1, q2, t2, obs_q, obs_t)
+    sN = s[..., None]
+    s2 = (s * s)[..., None]
+    r = jnp.concatenate([core * sN, (s * (1.0 - s))[..., None]], axis=-1)
+    cc = jnp.sum(core * core, axis=-1)
+    one2s = 1.0 - 2.0 * s
+    ds = cc + one2s * one2s
+    gs = s * cc + s * (1.0 - s) * one2s
+    return (r, A11 * s2[..., None], A22 * s2[..., None], B12 * s2[..., None],
+            g1c * sN, g2c * sN, ds, g1c * s2, g2c * s2, gs)
+
+
+def node_prior_block_products(q, t, prior_q, prior_t, weight):
+    """(r, A, g) for the prior: A = w^2 [[Mp'Mp, 0], [0, I]],
+    g = w^2 [Mp' r_e; t - tp]."""
+    qpc = se3.quat_conj(prior_q)
+    dt_ = se3.quat_rotate(qpc, t - prior_t)
+    dq = se3.quat_mul(qpc, q)
+    r_e = 2.0 * dq[..., :3]
+    r = jnp.concatenate([dt_, r_e], axis=-1)
+
+    Mp = _rot_row_M(prior_q, se3.quat_identity(q.shape[:-1], q.dtype), q)
+    MtM = jnp.einsum("...ki,...kj->...ij", Mp, Mp)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), MtM.shape)
+    zero = jnp.zeros_like(MtM)
+    A = _blk(MtM, zero, zero, eye)
+    g = jnp.concatenate(
+        [jnp.einsum("...ki,...k->...i", Mp, r_e), t - prior_t], axis=-1)
+    w = weight[..., None]
+    w2 = (weight * weight)[..., None]
+    return r * w, A * w2[..., None], g * w2
+
+
+def node_prior_residual_jac(q, t, prior_q, prior_t, weight):
+    """(r, J) for the prior residual — analytic.
+
+    delta_t = Rp^T (t - tp) -> d/dt = Rp^T, d/dtheta = 0;
+    e = 2 vec(qp^-1 (x) dq (x) q) -> d/dtheta = M(a=qp^-1, b=q)."""
+    qpc = se3.quat_conj(prior_q)
+    RpT = se3.quat_to_rot(qpc)
+    dt_ = se3.quat_rotate(qpc, t - prior_t)
+    dq = se3.quat_mul(qpc, q)
+    r = jnp.concatenate([dt_, 2.0 * dq[..., :3]], axis=-1)
+
+    M = _rot_row_M(prior_q, se3.quat_identity(q.shape[:-1], q.dtype), q)
+    zero = jnp.zeros_like(M)
+    J = jnp.concatenate([
+        jnp.concatenate([zero, RpT], axis=-1),
+        jnp.concatenate([M, zero], axis=-1),
+    ], axis=-2)
+    w = weight[..., None]
+    return r * w, J * w[..., None]

@@ -95,3 +95,33 @@ def test_float32_solve_close_to_float64():
     c64, c32 = float(r64.final_cost), float(r32.final_cost)
     # fp32 device path should land within a few percent of the fp64 chi^2
     assert c32 < 1.10 * c64 + 1e-3
+
+
+def test_assemble_direct_matches_ref():
+    """Direct (block-product + gather) assembly == reference (jacobian
+    einsum + scatter) assembly, fp64."""
+    import jax.numpy as jnp
+
+    from solve_keyframe_pose_graph_tpu.graph import synthetic
+    from solve_keyframe_pose_graph_tpu.ops import gn as gn_ops
+    from solve_keyframe_pose_graph_tpu.solver.problem import build_problem_np
+
+    g = synthetic.circle_graph(n_nodes=150, n_loops=30, seed=9)
+    prob = build_problem_np(
+        q=g.vio_q, t=g.vio_t, vio_q=g.vio_q, vio_t=g.vio_t,
+        node_valid=np.ones(g.n_nodes, bool),
+        loop_pairs=g.loop_pairs, loop_q=g.loop_q, loop_t=g.loop_t,
+        loop_w=g.loop_w,
+        loop_valid=np.arange(g.n_loops) % 7 != 0,   # some masked edges
+        switch=np.full(g.n_loops, 0.99),
+        prior_idx=np.array([0]), prior_q=g.vio_q[:1], prior_t=g.vio_t[:1],
+        prior_w=np.array([1.1]),
+        n_cap=192, e_cap=48, p_cap=4, dtype=np.float64,
+    )
+    a = gn_ops.assemble(prob, prob.q, prob.t, prob.switch)
+    b = gn_ops.assemble_ref(prob, prob.q, prob.t, prob.switch)
+    np.testing.assert_allclose(float(a.cost), float(b.cost), rtol=1e-12)
+    for name in ("D", "B", "Aba", "cb", "ca", "ds", "g_n", "g_s"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            atol=1e-10, err_msg=name)

@@ -166,3 +166,119 @@ def test_four_dof_rows(rng):
     obs_q2 = se3.quat_mul(obs_q, jnp.tile(dq, (4, 1)))
     r2 = res.four_dof_residual(q1, t1, q2, t2, obs_q2, obs_t, jnp.ones(4))
     np.testing.assert_allclose(np.array(r2[:, 3]), 4.0 * dyaw, atol=1e-6)
+
+
+class TestAnalyticJacobians:
+    """Analytic Jacobians must match the autodiff oracle to fp64 precision."""
+
+    def _rand_pose(self, rng, n):
+        q = rng.normal(size=(n, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        return jnp.asarray(q), jnp.asarray(rng.normal(size=(n, 3)))
+
+    def test_six_dof(self, rng):
+        n = 64
+        q1, t1 = self._rand_pose(rng, n)
+        q2, t2 = self._rand_pose(rng, n)
+        oq, ot = self._rand_pose(rng, n)
+        w = jnp.asarray(rng.uniform(0.2, 1.5, size=n))
+        r_a, J1_a, J2_a = res.six_dof_residual_jac(q1, t1, q2, t2, oq, ot, w)
+        r_d, J1_d, J2_d = res.six_dof_residual_jac_ad(q1, t1, q2, t2, oq, ot, w)
+        np.testing.assert_allclose(r_a, r_d, atol=1e-12)
+        np.testing.assert_allclose(J1_a, J1_d, atol=1e-9)
+        np.testing.assert_allclose(J2_a, J2_d, atol=1e-9)
+
+    def test_six_dof_switch(self, rng):
+        n = 64
+        q1, t1 = self._rand_pose(rng, n)
+        q2, t2 = self._rand_pose(rng, n)
+        oq, ot = self._rand_pose(rng, n)
+        s = jnp.asarray(rng.uniform(0.01, 0.99, size=n))
+        w = jnp.asarray(rng.uniform(0.2, 1.5, size=n))
+        out_a = res.six_dof_switch_residual_jac(q1, t1, q2, t2, s, oq, ot, w)
+        out_d = res.six_dof_switch_residual_jac_ad(q1, t1, q2, t2, s, oq, ot, w)
+        for a, d in zip(out_a, out_d):
+            np.testing.assert_allclose(a, d, atol=1e-9)
+
+    def test_node_prior(self, rng):
+        n = 64
+        q, t = self._rand_pose(rng, n)
+        pq, pt = self._rand_pose(rng, n)
+        w = jnp.asarray(rng.uniform(0.2, 1.5, size=n))
+        r_a, J_a = res.node_prior_residual_jac(q, t, pq, pt, w)
+        r_d, J_d = res.node_prior_residual_jac_ad(q, t, pq, pt, w)
+        np.testing.assert_allclose(r_a, r_d, atol=1e-12)
+        np.testing.assert_allclose(J_a, J_d, atol=1e-9)
+
+
+class TestBlockProducts:
+    """Direct normal-equation blocks == einsum of the analytic Jacobians."""
+
+    def _rand_pose(self, rng, n):
+        q = rng.normal(size=(n, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        return jnp.asarray(q), jnp.asarray(rng.normal(size=(n, 3)))
+
+    def test_six_dof_products(self, rng):
+        n = 48
+        q1, t1 = self._rand_pose(rng, n)
+        q2, t2 = self._rand_pose(rng, n)
+        oq, ot = self._rand_pose(rng, n)
+        w = jnp.asarray(rng.uniform(0.2, 1.5, size=n))
+        r, J1, J2 = res.six_dof_residual_jac(q1, t1, q2, t2, oq, ot, w)
+        out = res.six_dof_block_products(q1, t1, q2, t2, oq, ot, w)
+        rb, A11, A22, B12, g1, g2 = out
+        np.testing.assert_allclose(rb, r, atol=1e-12)
+        np.testing.assert_allclose(
+            A11, jnp.einsum("eki,ekj->eij", J1, J1), atol=1e-9)
+        np.testing.assert_allclose(
+            A22, jnp.einsum("eki,ekj->eij", J2, J2), atol=1e-9)
+        np.testing.assert_allclose(
+            B12, jnp.einsum("eki,ekj->eij", J1, J2), atol=1e-9)
+        np.testing.assert_allclose(
+            g1, jnp.einsum("eki,ek->ei", J1, r), atol=1e-9)
+        np.testing.assert_allclose(
+            g2, jnp.einsum("eki,ek->ei", J2, r), atol=1e-9)
+
+    def test_switch_products(self, rng):
+        n = 48
+        q1, t1 = self._rand_pose(rng, n)
+        q2, t2 = self._rand_pose(rng, n)
+        oq, ot = self._rand_pose(rng, n)
+        s = jnp.asarray(rng.uniform(0.01, 0.99, size=n))
+        w = jnp.asarray(rng.uniform(0.2, 1.5, size=n))
+        r, L1, L2, Ls = res.six_dof_switch_residual_jac(
+            q1, t1, q2, t2, s, oq, ot, w)
+        out = res.six_dof_switch_block_products(q1, t1, q2, t2, s, oq, ot, w)
+        rb, A11, A22, B12, c1, c2, ds, g1, g2, gs = out
+        np.testing.assert_allclose(rb, r, atol=1e-12)
+        np.testing.assert_allclose(
+            A11, jnp.einsum("eki,ekj->eij", L1, L1), atol=1e-9)
+        np.testing.assert_allclose(
+            A22, jnp.einsum("eki,ekj->eij", L2, L2), atol=1e-9)
+        np.testing.assert_allclose(
+            B12, jnp.einsum("eki,ekj->eij", L1, L2), atol=1e-9)
+        np.testing.assert_allclose(
+            c1, jnp.einsum("eki,ek->ei", L1, Ls), atol=1e-9)
+        np.testing.assert_allclose(
+            c2, jnp.einsum("eki,ek->ei", L2, Ls), atol=1e-9)
+        np.testing.assert_allclose(ds, jnp.sum(Ls * Ls, axis=-1), atol=1e-9)
+        np.testing.assert_allclose(
+            g1, jnp.einsum("eki,ek->ei", L1, r), atol=1e-9)
+        np.testing.assert_allclose(
+            g2, jnp.einsum("eki,ek->ei", L2, r), atol=1e-9)
+        np.testing.assert_allclose(
+            gs, jnp.einsum("ek,ek->e", Ls, r), atol=1e-9)
+
+    def test_prior_products(self, rng):
+        n = 48
+        q, t = self._rand_pose(rng, n)
+        pq, pt = self._rand_pose(rng, n)
+        w = jnp.asarray(rng.uniform(0.2, 1.5, size=n))
+        r, J = res.node_prior_residual_jac(q, t, pq, pt, w)
+        rb, A, g = res.node_prior_block_products(q, t, pq, pt, w)
+        np.testing.assert_allclose(rb, r, atol=1e-12)
+        np.testing.assert_allclose(
+            A, jnp.einsum("eki,ekj->eij", J, J), atol=1e-9)
+        np.testing.assert_allclose(
+            g, jnp.einsum("eki,ek->ei", J, r), atol=1e-9)
