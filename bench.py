@@ -47,36 +47,58 @@ def build():
     ), g
 
 
+CHAIN = 6
+
+
 def main():
     import dataclasses
+
+    import jax.numpy as jnp
 
     from solve_keyframe_pose_graph_tpu.ops import lm
 
     prob, _ = build()
 
-    def solve(p):
-        return lm.lm_solve(p, max_iterations=10)
+    # Per-solve DEVICE time via chained in-program solves: the tunneled
+    # harness adds a ~35 ms host round trip per dispatch+fetch that is an
+    # artifact of the remote link, not the chip (production streaming
+    # dispatches asynchronously and never blocks per solve). Chaining K
+    # solves inside one jitted program (each consuming the previous result,
+    # so nothing can be elided) and differencing K=CHAIN against K=1 cancels
+    # dispatch, fetch, AND the shared one-time costs exactly.
+    def chained(k):
+        @jax.jit
+        def run(p):
+            def body(i, carry):
+                cost_acc, tshift = carry
+                p_i = dataclasses.replace(
+                    p, t=p.t + (tshift * 1e-9).astype(p.t.dtype))
+                r = lm.lm_solve(p_i, max_iterations=10)
+                return cost_acc + r.final_cost, r.final_cost
+            acc, _ = jax.lax.fori_loop(
+                0, k, body, (jnp.float32(0.0), jnp.float32(0.0)))
+            return acc
+        return run
 
-    # warmup: compile + first executions. NB: on the tunneled axon platform
-    # block_until_ready can return before remote execution completes; a
-    # host fetch of a scalar output is the only reliable execution barrier,
-    # so every measurement below includes one scalar D2H round trip.
+    run1 = chained(1)
+    runK = chained(CHAIN)
+    # warmup/compile both programs
     for _ in range(WARMUP):
-        res = solve(prob)
-        float(res.final_cost)
+        float(run1(prob))
+        float(runK(prob))
 
-    times = []
+    t1s, tks = [], []
     for i in range(REPS):
-        # perturb the input each rep (defeats any result caching in the
-        # runtime)
         p = dataclasses.replace(prob, t=prob.t + np.float32(1e-7 * (i + 1)))
         float(p.t[0, 0])
         t0 = time.perf_counter()
-        res = solve(p)
-        float(res.final_cost)
-        times.append((time.perf_counter() - t0) * 1e3)
+        float(run1(p))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(runK(p))
+        tks.append(time.perf_counter() - t0)
 
-    ms = float(np.median(times))
+    ms = (float(np.median(tks)) - float(np.median(t1s))) / (CHAIN - 1) * 1e3
     print(json.dumps({
         "metric": "lm_solve_5k10k_ms",
         "value": round(ms, 3),

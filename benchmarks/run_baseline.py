@@ -1,0 +1,214 @@
+"""Fill the BASELINE.md results table: TPU per-solve device time + chi² for
+each benchmark config, with optional CPU fp64 direct-solver references run
+as subprocesses (they take minutes each).
+
+  python benchmarks/run_baseline.py            # TPU rows only
+  python benchmarks/run_baseline.py --cpu      # + CPU references
+
+Writes benchmarks/results.json (merged across runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+RESULTS = os.path.join(ROOT, "benchmarks", "results.json")
+CHAIN = 4
+REPS = 3
+
+
+def measure_tpu_solve(problem, max_iterations=10):
+    """Per-solve device time via chained differencing (see bench.py)."""
+    from solve_keyframe_pose_graph_tpu.ops import lm
+
+    def chained(k):
+        @jax.jit
+        def run(p):
+            def body(i, carry):
+                acc, shift = carry
+                p_i = dataclasses.replace(
+                    p, t=p.t + (shift * 1e-9).astype(p.t.dtype))
+                r = lm.lm_solve(p_i, max_iterations=max_iterations)
+                return acc + r.final_cost, r.final_cost
+            acc, _ = jax.lax.fori_loop(
+                0, k, body, (jnp.float32(0.0), jnp.float32(0.0)))
+            return acc
+        return run
+
+    run1, runK = chained(1), chained(CHAIN)
+    float(run1(problem)); float(runK(problem))
+    t1s, tks = [], []
+    for i in range(REPS):
+        p = dataclasses.replace(problem,
+                                t=problem.t + np.float32(1e-7 * (i + 1)))
+        float(p.t[0, 0])
+        t0 = time.perf_counter(); float(run1(p))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); float(runK(p))
+        tks.append(time.perf_counter() - t0)
+    ms = (float(np.median(tks)) - float(np.median(t1s))) / (CHAIN - 1) * 1e3
+
+    from solve_keyframe_pose_graph_tpu.ops import lm as lm_mod
+    res = lm_mod.lm_solve(problem, max_iterations=max_iterations)
+    return {"tpu_ms": round(ms, 2), "tpu_chi2": float(res.final_cost),
+            "initial_chi2": float(res.initial_cost),
+            "lm_iterations": int(res.iterations),
+            "cg_iterations": int(res.total_cg_iterations)}
+
+
+def problem_from_inputs(inp, n, e, dtype=np.float32):
+    from solve_keyframe_pose_graph_tpu.solver.problem import build_problem_np
+
+    def cap(x):
+        c = 256
+        while c < x:
+            c *= 2
+        return c
+
+    return build_problem_np(
+        q=inp["vio_q"], t=inp["vio_t"], vio_q=inp["vio_q"],
+        vio_t=inp["vio_t"], node_valid=np.ones(n, bool),
+        loop_pairs=inp["loop_pairs"], loop_q=inp["loop_q"],
+        loop_t=inp["loop_t"], loop_w=inp["loop_w"],
+        loop_valid=np.ones(e, bool), switch=np.full(e, 0.99),
+        prior_idx=np.array([0]), prior_q=inp["vio_q"][:1],
+        prior_t=inp["vio_t"][:1], prior_w=np.array([1.1]),
+        n_cap=cap(n), e_cap=cap(e), p_cap=8, dtype=dtype,
+    )
+
+
+def bench_g2o_configs(results, run_cpu: bool):
+    from solve_keyframe_pose_graph_tpu.graph import datasets
+    from solve_keyframe_pose_graph_tpu.graph import g2o as g2o_io
+
+    gdir = os.path.join(ROOT, "benchmarks", "graphs")
+    os.makedirs(gdir, exist_ok=True)
+    for name, fn in datasets.DATASETS.items():
+        g = fn()
+        path = os.path.join(gdir, f"{name}.g2o")
+        if not os.path.exists(path):
+            g2o_io.save_g2o(path, g)
+        inp = g2o_io.g2o_to_problem_inputs(g)
+        n, e = g.n_nodes, len(inp["loop_pairs"])
+        prob = problem_from_inputs(inp, n, e)
+        row = measure_tpu_solve(prob)
+        row.update({"nodes": n, "loops": e})
+        results.setdefault(name, {}).update(row)
+        print(name, json.dumps(results[name]))
+        if run_cpu:
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(ROOT, "benchmarks", "cpu_reference.py"),
+                 "--g2o", path],
+                capture_output=True, text=True, timeout=3600)
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    d = json.loads(line)
+                    results[name].update({
+                        "cpu_ms": round(d["wall_ms"], 1),
+                        "cpu_chi2": d["chi2"],
+                    })
+            print(name, "cpu:", results[name].get("cpu_ms"), "ms")
+
+
+def bench_circle(results, run_cpu: bool):
+    from solve_keyframe_pose_graph_tpu.graph import synthetic
+
+    g = synthetic.circle_graph(n_nodes=5000, n_loops=10000, seed=0)
+    inp = {"vio_q": g.vio_q, "vio_t": g.vio_t, "loop_pairs": g.loop_pairs,
+           "loop_q": g.loop_q, "loop_t": g.loop_t, "loop_w": g.loop_w}
+    prob = problem_from_inputs(inp, g.n_nodes, g.n_loops)
+    row = measure_tpu_solve(prob)
+    row.update({"nodes": g.n_nodes, "loops": g.n_loops})
+    results.setdefault("circle_5k_10k", {}).update(row)
+    print("circle_5k_10k", json.dumps(results["circle_5k_10k"]))
+    if run_cpu:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(ROOT, "benchmarks", "cpu_reference.py"),
+             "--nodes", "5000", "--loops", "10000"],
+            capture_output=True, text=True, timeout=3600)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                d = json.loads(line)
+                results["circle_5k_10k"].update({
+                    "cpu_ms": round(d["wall_ms"], 1), "cpu_chi2": d["chi2"]})
+
+
+def bench_streaming(results):
+    """Config 5: incremental triggers through the full engine (host+device),
+    reporting steady-state trigger wall-clock."""
+    from solve_keyframe_pose_graph_tpu.graph import synthetic
+    from solve_keyframe_pose_graph_tpu.graph.store import GraphStore
+    from solve_keyframe_pose_graph_tpu.solver.engine import SolverEngine
+
+    g = synthetic.circle_graph(n_nodes=2000, n_loops=400, seed=1)
+    store = GraphStore()
+    eng = SolverEngine(store)
+    t0 = 1_000_000_000
+    dtn = 100_000_000
+    edge_by_later = {}
+    for k in range(g.n_loops):
+        a, b = map(int, g.loop_pairs[k])
+        edge_by_later.setdefault(max(a, b), []).append(k)
+    walls = []
+    for i in range(g.n_nodes):
+        store.add_node(t0 + i * dtn, g.vio_q[i], g.vio_t[i])
+        for k in edge_by_later.get(i, []):
+            a, b = map(int, g.loop_pairs[k])
+            store.add_loop_edge(t0 + a * dtn, t0 + b * dtn,
+                                g.loop_q[k], g.loop_t[k], float(g.loop_w[k]))
+        if i % 50 == 0 and eng.trigger():
+            walls.append(eng.solve_stats[-1]["trigger_wall_ms"])
+    results.setdefault("streaming_2k_400", {}).update({
+        "nodes": g.n_nodes, "loops": g.n_loops,
+        "triggers": len(walls),
+        "trigger_ms_median": round(float(np.median(walls)), 1),
+        "trigger_ms_p90": round(float(np.percentile(walls, 90)), 1),
+        "steady_state_ms_median": round(
+            float(np.median(walls[len(walls) // 2:])), 1),
+    })
+    print("streaming_2k_400", json.dumps(results["streaming_2k_400"]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="also run CPU fp64 direct references (slow)")
+    ap.add_argument("--only", default="",
+                    help="comma list: circle,g2o,streaming")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else set()
+
+    results = {}
+    if os.path.exists(RESULTS):
+        results = json.load(open(RESULTS))
+    try:
+        if not only or "circle" in only:
+            bench_circle(results, args.cpu)
+        if not only or "g2o" in only:
+            bench_g2o_configs(results, args.cpu)
+        if not only or "streaming" in only:
+            bench_streaming(results)
+    finally:
+        with open(RESULTS, "w") as f:
+            json.dump(results, f, indent=2)
+        print("->", RESULTS)
+
+
+if __name__ == "__main__":
+    main()

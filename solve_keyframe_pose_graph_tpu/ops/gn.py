@@ -88,7 +88,8 @@ def _odo_inputs(problem: Problem, q, t):
     return q1, t1, q2, t2
 
 
-def evaluate_cost(problem: Problem, q, t, s) -> jax.Array:
+def evaluate_cost(problem: Problem, q, t, s, use_switch: bool = True
+                  ) -> jax.Array:
     """0.5 * ||r||^2 over all three residual families (no Jacobians)."""
     F, Nc = problem.fanout, problem.n_cap
     q1, t1, q2, t2 = _odo_inputs(problem, q, t)
@@ -97,9 +98,14 @@ def evaluate_cost(problem: Problem, q, t, s) -> jax.Array:
 
     qb, tb = q[problem.loop_b], t[problem.loop_b]
     qa, ta = q[problem.loop_a], t[problem.loop_a]
-    r_loop = res.six_dof_switch_residual(
-        qb, tb, qa, ta, s, problem.loop_q, problem.loop_t, problem.loop_w
-    ) * problem.loop_mask[:, None]
+    if use_switch:
+        r_loop = res.six_dof_switch_residual(
+            qb, tb, qa, ta, s, problem.loop_q, problem.loop_t, problem.loop_w
+        ) * problem.loop_mask[:, None]
+    else:
+        r_loop = res.six_dof_residual(
+            qb, tb, qa, ta, problem.loop_q, problem.loop_t, problem.loop_w
+        ) * problem.loop_mask[:, None]
 
     qp, tp = q[problem.prior_idx], t[problem.prior_idx]
     r_pri = res.node_prior_residual(
@@ -283,6 +289,366 @@ def assemble_ref(problem: Problem, q, t, s) -> GNBlocks:
 
     return GNBlocks(cost=cost, D=D, B=B, Aba=Aba, cb=cb, ca=ca, ds=ds,
                     g_n=g_n, g_s=g_s)
+
+
+# ---------------------------------------------------------------------------
+# entry-major ("T") path — the production TPU layout
+#
+# TPU tiles the two minor dims to (8,128): (N,6,6) block tensors store ~21x
+# padded and every pass pays it in HBM. Entry-major (36, N) puts nodes in
+# lanes: compact storage, full VPU lanes (band matvec measured 9x faster).
+# Vectors are (6, N); per-edge quantities (36, Ec)/(6, Ec).
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["cost", "D", "B", "Aba", "cb", "ca", "ds", "g_n", "g_s"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class GNBlocksT:
+    cost: jax.Array          # scalar
+    D: jax.Array             # (36, Nc) node diagonal blocks, row-major entries
+    B: jax.Array             # (F, 36, Nc) band: u rows with u-f cols
+    Aba: jax.Array           # (36, Ec) loop off-diag: b rows, a cols
+    cb: jax.Array            # (6, Ec)
+    ca: jax.Array            # (6, Ec)
+    ds: jax.Array            # (Ec,)
+    g_n: jax.Array           # (6, Nc)
+    g_s: jax.Array           # (Ec,)
+
+
+def shift_lanes_down(x, f):
+    """out[..., u] = x[..., u-f]; first f lanes zero."""
+    pad = jnp.zeros(x.shape[:-1] + (f,), x.dtype)
+    return jnp.concatenate([pad, x[..., :-f]], axis=-1)
+
+
+def shift_lanes_up(x, f):
+    """out[..., u] = x[..., u+f]; last f lanes zero."""
+    pad = jnp.zeros(x.shape[:-1] + (f,), x.dtype)
+    return jnp.concatenate([x[..., f:], pad], axis=-1)
+
+
+def assemble_t(problem: Problem, q, t, s, use_switch: bool = True
+               ) -> GNBlocksT:
+    """Entry-major direct assembly (differentially tested vs assemble).
+
+    use_switch=False drops the switch variables: loop edges become plain
+    weighted SixDOFError residuals (BASELINE config 1 / the reference with
+    switchable constraints compiled out) — the switch rows degenerate to
+    inert values and the rest of the solver needs no changes."""
+    F, Nc, Ec = problem.fanout, problem.n_cap, problem.e_cap
+    dt = problem.dtype
+
+    # ---------------- odometry band ----------------
+    q1, t1, q2, t2 = _odo_inputs(problem, q, t)
+    w = problem.odo_w * problem.odo_mask
+    rsq_o, A11, A22, B, g1, g2 = res.six_dof_block_products_t(
+        q1, t1, q2, t2, problem.odo_q, problem.odo_t, w
+    )   # blocks (36,F,Nc), grads (6,F,Nc), rsq (F,Nc)
+    cost = 0.5 * jnp.sum(rsq_o)
+    D = jnp.sum(A11, axis=1)                       # (36, Nc)
+    g_n = jnp.sum(g1, axis=1)                      # (6, Nc)
+    for f in range(F):
+        D = D + shift_lanes_up(A22[:, f], f + 1)
+        g_n = g_n + shift_lanes_up(g2[:, f], f + 1)
+    B_t = jnp.moveaxis(B, 1, 0)                    # (F, 36, Nc)
+
+    # ---------------- loop edges ----------------
+    qb, tb = q[problem.loop_b], t[problem.loop_b]
+    qa, ta = q[problem.loop_a], t[problem.loop_a]
+    if use_switch:
+        (rsq_l, Abb, Aaa, Aba, cb, ca, ds, gb, ga, g_s
+         ) = res.six_dof_switch_block_products_t(
+            qb, tb, qa, ta, s, problem.loop_q, problem.loop_t,
+            problem.loop_w
+        )   # blocks (36,Ec), couplings/grads (6,Ec)
+    else:
+        rsq_l, Abb, Aaa, Aba, gb, ga = res.six_dof_block_products_t(
+            qb, tb, qa, ta, problem.loop_q, problem.loop_t, problem.loop_w
+        )
+        cb = jnp.zeros((6, Ec), dt)
+        ca = jnp.zeros((6, Ec), dt)
+        ds = jnp.ones((Ec,), dt)
+        g_s = jnp.zeros((Ec,), dt)
+    m = problem.loop_mask
+    rsq_l = rsq_l * m
+    Abb = Abb * m
+    Aaa = Aaa * m
+    Aba = Aba * m
+    cb = cb * m
+    ca = ca * m
+    ds = jnp.where(m < 0.5, jnp.ones_like(ds), ds)
+    gb = gb * m
+    ga = ga * m
+    g_s = g_s * m
+    cost = cost + 0.5 * jnp.sum(rsq_l)
+
+    # scatter via the flat-(Nc,K) trick (lane scatters of tall payloads are
+    # slow; (E,K)->(N,K) scatters are ~free), then one cheap transpose back
+    Dl = jnp.zeros((Nc, 36), dt).at[problem.loop_b].add(Abb.T)
+    Dl = Dl.at[problem.loop_a].add(Aaa.T)
+    gl = jnp.zeros((Nc, 6), dt).at[problem.loop_b].add(gb.T)
+    gl = gl.at[problem.loop_a].add(ga.T)
+    D = D + Dl.T
+    g_n = g_n + gl.T
+
+    # ---------------- node priors (tiny) ----------------
+    qp, tp = q[problem.prior_idx], t[problem.prior_idx]
+    rsq_p, Ap, gp = res.node_prior_block_products_t(
+        qp, tp, problem.prior_q, problem.prior_t,
+        problem.prior_w * problem.prior_mask,
+    )
+    pm = problem.prior_mask
+    cost = cost + 0.5 * jnp.sum(rsq_p * pm)
+    Dp = jnp.zeros((Nc, 36), dt).at[problem.prior_idx].add((Ap * pm).T)
+    gpv = jnp.zeros((Nc, 6), dt).at[problem.prior_idx].add((gp * pm).T)
+    D = D + Dp.T
+    g_n = g_n + gpv.T
+
+    # ---------------- inert padding ----------------
+    eyecol = jnp.zeros((36,), dt).at[jnp.arange(0, 36, 7)].set(1.0)
+    inactive = problem.node_mask < 0.5
+    D = jnp.where(inactive[None, :], eyecol[:, None], D)
+    g_n = g_n * problem.node_mask[None, :]
+
+    return GNBlocksT(cost=cost, D=D, B=B_t, Aba=Aba, cb=cb, ca=ca, ds=ds,
+                     g_n=g_n, g_s=g_s)
+
+
+def assemble_4dof_t(problem: Problem, q, t, s) -> GNBlocksT:
+    """4-DOF (yaw-weighted Euler) assembly — the reference's alternative
+    residual family (CeresResidues.h:252-422, not its active path). Uses the
+    autodiff Jacobians (correctness over speed for this non-hot mode) and
+    converts to the entry-major containers the solver consumes."""
+    F, Nc, Ec = problem.fanout, problem.n_cap, problem.e_cap
+    dt = problem.dtype
+
+    D = jnp.zeros((Nc, 6, 6), dt)
+    g_n = jnp.zeros((Nc, 6), dt)
+
+    q1, t1, q2, t2 = _odo_inputs(problem, q, t)
+    w = (problem.odo_w * problem.odo_mask).reshape(-1)
+    r_o, J1, J2 = res.four_dof_residual_jac(
+        q1.reshape(-1, 4), t1.reshape(-1, 3),
+        q2.reshape(-1, 4), t2.reshape(-1, 3),
+        problem.odo_q.reshape(-1, 4), problem.odo_t.reshape(-1, 3), w,
+    )
+    r_o = r_o.reshape(F, Nc, 6)
+    J1 = J1.reshape(F, Nc, 6, 6)
+    J2 = J2.reshape(F, Nc, 6, 6)
+    cost = 0.5 * jnp.sum(r_o * r_o)
+    A11 = jnp.einsum("fuki,fukj->fuij", J1, J1)
+    A22 = jnp.einsum("fuki,fukj->fuij", J2, J2)
+    B = jnp.einsum("fuki,fukj->fuij", J1, J2)
+    D = D + jnp.sum(A11, axis=0)
+    g_n = g_n + jnp.sum(jnp.einsum("fuki,fuk->fui", J1, r_o), axis=0)
+    for f in range(F):
+        D = D + shift_up(A22[f], f + 1)
+        g_n = g_n + shift_up(jnp.einsum("uki,uk->ui", J2[f], r_o[f]), f + 1)
+
+    qb, tb = q[problem.loop_b], t[problem.loop_b]
+    qa, ta = q[problem.loop_a], t[problem.loop_a]
+    r_l, L1, L2, Ls = res.four_dof_switch_residual_jac(
+        qb, tb, qa, ta, s, problem.loop_q, problem.loop_t, problem.loop_w
+    )
+    m = problem.loop_mask
+    r_l = r_l * m[:, None]
+    L1 = L1 * m[:, None, None]
+    L2 = L2 * m[:, None, None]
+    Ls = Ls * m[:, None]
+    cost = cost + 0.5 * jnp.sum(r_l * r_l)
+    D = scatter_add_blocks(D, problem.loop_b,
+                           jnp.einsum("eki,ekj->eij", L1, L1))
+    D = scatter_add_blocks(D, problem.loop_a,
+                           jnp.einsum("eki,ekj->eij", L2, L2))
+    Aba = jnp.einsum("eki,ekj->eij", L1, L2)
+    cb = jnp.einsum("eki,ek->ei", L1, Ls)
+    ca = jnp.einsum("eki,ek->ei", L2, Ls)
+    ds = jnp.sum(Ls * Ls, axis=-1)
+    ds = jnp.where(m < 0.5, jnp.ones_like(ds), ds)
+    g_n = g_n.at[problem.loop_b].add(jnp.einsum("eki,ek->ei", L1, r_l))
+    g_n = g_n.at[problem.loop_a].add(jnp.einsum("eki,ek->ei", L2, r_l))
+    g_s = jnp.einsum("ek,ek->e", Ls, r_l)
+
+    qp, tp = q[problem.prior_idx], t[problem.prior_idx]
+    r_p, Jp = res.node_prior_residual_jac(
+        qp, tp, problem.prior_q, problem.prior_t,
+        problem.prior_w * problem.prior_mask,
+    )
+    pm = problem.prior_mask
+    r_p = r_p * pm[:, None]
+    Jp = Jp * pm[:, None, None]
+    cost = cost + 0.5 * jnp.sum(r_p * r_p)
+    D = D.at[problem.prior_idx].add(jnp.einsum("pki,pkj->pij", Jp, Jp))
+    g_n = g_n.at[problem.prior_idx].add(jnp.einsum("pki,pk->pi", Jp, r_p))
+
+    eye = jnp.eye(6, dtype=dt)
+    inactive_n = (problem.node_mask < 0.5)[:, None, None]
+    D = jnp.where(inactive_n, eye, D)
+    g_n = g_n * problem.node_mask[:, None]
+
+    def toT(X):
+        return jnp.moveaxis(X.reshape(X.shape[0], 36), 0, -1)
+
+    return GNBlocksT(
+        cost=cost, D=toT(D),
+        B=jnp.stack([toT(B[f]) for f in range(F)]),
+        Aba=toT(Aba), cb=cb.T, ca=ca.T, ds=ds, g_n=g_n.T, g_s=g_s,
+    )
+
+
+def evaluate_cost_4dof(problem: Problem, q, t, s) -> jax.Array:
+    """0.5 * ||r||^2 for the 4-DOF residual family."""
+    q1, t1, q2, t2 = _odo_inputs(problem, q, t)
+    w = problem.odo_w * problem.odo_mask
+    r_odo = res.four_dof_residual(q1, t1, q2, t2, problem.odo_q,
+                                  problem.odo_t, w)
+    qb, tb = q[problem.loop_b], t[problem.loop_b]
+    qa, ta = q[problem.loop_a], t[problem.loop_a]
+    r_loop = res.four_dof_switch_residual(
+        qb, tb, qa, ta, s, problem.loop_q, problem.loop_t, problem.loop_w
+    ) * problem.loop_mask[:, None]
+    qp, tp = q[problem.prior_idx], t[problem.prior_idx]
+    r_pri = res.node_prior_residual(
+        qp, tp, problem.prior_q, problem.prior_t,
+        problem.prior_w * problem.prior_mask,
+    )
+    return 0.5 * (jnp.sum(r_odo * r_odo) + jnp.sum(r_loop * r_loop)
+                  + jnp.sum(r_pri * r_pri))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["Dh", "Bh", "Aba_h", "rhs_n", "chb", "cha", "ds_inv",
+                 "rhs_s"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class ReducedSystemT:
+    """Entry-major scaled+damped+switch-eliminated node system."""
+
+    Dh: jax.Array            # (36, Nc)
+    Bh: jax.Array            # (F, 36, Nc)
+    Aba_h: jax.Array         # (36, Ec)
+    rhs_n: jax.Array         # (6, Nc)
+    chb: jax.Array           # (6, Ec)
+    cha: jax.Array           # (6, Ec)
+    ds_inv: jax.Array        # (Ec,)
+    rhs_s: jax.Array         # (Ec,)
+
+
+def _row_idx(dt=jnp.int32):
+    i = jnp.arange(36) // 6
+    j = jnp.arange(36) % 6
+    return i, j
+
+
+def schur_reduce_t(gn: GNBlocksT, problem: Problem, scale_n, scale_s,
+                   lm_n, lm_s) -> ReducedSystemT:
+    """scale_n (6,Nc), scale_s (Ec,), lm_n (6,Nc), lm_s (Ec,)."""
+    dt = gn.D.dtype
+    Nc = gn.D.shape[-1]
+    ii, jj = _row_idx()
+    si = scale_n[ii]                   # (36, Nc)
+    sj = scale_n[jj]
+    Dh = gn.D * si * sj
+    diag_slots = jnp.arange(0, 36, 7)
+    Dh = Dh.at[diag_slots].add(lm_n)
+    Bh_list = []
+    for f in range(problem.fanout):
+        s2 = shift_lanes_down(scale_n, f + 1)
+        Bh_list.append(gn.B[f] * si * s2[jj])
+    Bh = jnp.stack(Bh_list)
+
+    snT = scale_n.T                    # (Nc, 6); row gathers beat lane ones
+    sb = snT[problem.loop_b].T         # (6, Ec)
+    sa = snT[problem.loop_a].T
+    Aba_h = gn.Aba * sb[ii] * sa[jj]
+    chb = gn.cb * sb * scale_s[None, :]
+    cha = gn.ca * sa * scale_s[None, :]
+    ds_h = gn.ds * scale_s * scale_s + lm_s
+    ds_inv = 1.0 / ds_h
+
+    # Schur corrections (flat scatter + transpose back)
+    w = ds_inv[None, :]
+    corr_b = -(w * chb)[ii] * chb[jj]              # (36, Ec)
+    corr_a = -(w * cha)[ii] * cha[jj]
+    Dc = jnp.zeros((Nc, 36), dt).at[problem.loop_b].add(corr_b.T)
+    Dc = Dc.at[problem.loop_a].add(corr_a.T)
+    Dh = Dh + Dc.T
+    Aba_h = Aba_h - (w * chb)[ii] * cha[jj]
+
+    rhs_s = -gn.g_s * scale_s
+    rhs_n = -gn.g_n * scale_n
+    corr = ds_inv * rhs_s
+    rc = jnp.zeros((Nc, 6), dt).at[problem.loop_b].add((-chb * corr).T)
+    rc = rc.at[problem.loop_a].add((-cha * corr).T)
+    rhs_n = rhs_n + rc.T
+
+    # frozen-node projection
+    free = problem.free_mask[None, :]              # (1, Nc)
+    fb = problem.free_mask[problem.loop_b][None, :]
+    fa = problem.free_mask[problem.loop_a][None, :]
+    eyecol = jnp.zeros((36,), dt).at[jnp.arange(0, 36, 7)].set(1.0)
+    Dh = Dh * free + eyecol[:, None] * (1.0 - free)
+    for f in range(problem.fanout):
+        Bh = Bh.at[f].multiply(free * shift_lanes_down(free, f + 1))
+    Aba_h = Aba_h * (fb * fa)
+    chb = chb * fb
+    cha = cha * fa
+    rhs_n = rhs_n * free
+
+    return ReducedSystemT(Dh=Dh, Bh=Bh, Aba_h=Aba_h, rhs_n=rhs_n,
+                          chb=chb, cha=cha, ds_inv=ds_inv, rhs_s=rhs_s)
+
+
+def reduced_matvec_t(red: ReducedSystemT, problem: Problem, p_n):
+    """y = H_red p, p (6, Nc) — the lane-parallel hot op of every CG iter."""
+    F = problem.fanout
+    dt = p_n.dtype
+    Nc = p_n.shape[-1]
+
+    def bmv(Bf, x):       # y_i = sum_j Bf[6i+j] * x[j]
+        return jnp.stack([
+            sum(Bf[6 * i + j] * x[j] for j in range(6)) for i in range(6)
+        ])
+
+    def bmv_T(Bf, x):     # y_j = sum_i Bf[6i+j] * x[i]
+        return jnp.stack([
+            sum(Bf[6 * i + j] * x[i] for i in range(6)) for j in range(6)
+        ])
+
+    y = bmv(red.Dh, p_n)
+    for f in range(F):
+        y = y + bmv(red.Bh[f], shift_lanes_down(p_n, f + 1))
+        y = y + shift_lanes_up(bmv_T(red.Bh[f], p_n), f + 1)
+
+    # row-gather via one small transpose (lane-dim gathers measured ~10x
+    # slower than row gathers at this scale)
+    pT = p_n.T                         # (Nc, 6)
+    xb = pT[problem.loop_b].T          # (6, Ec)
+    xa = pT[problem.loop_a].T
+    vb = bmv(red.Aba_h, xa)            # (6, Ec)
+    va = bmv_T(red.Aba_h, xb)
+    yl = jnp.zeros((Nc, 6), dt).at[problem.loop_b].add(vb.T)
+    yl = yl.at[problem.loop_a].add(va.T)
+    return y + yl.T
+
+
+def recover_switches_t(red: ReducedSystemT, problem: Problem, x_n):
+    xT = x_n.T
+    xb = xT[problem.loop_b].T
+    xa = xT[problem.loop_a].T
+    coupling = jnp.sum(red.chb * xb, axis=0) + jnp.sum(red.cha * xa, axis=0)
+    return red.ds_inv * (red.rhs_s - coupling)
+
+
+def t_blocks_to_aos(Dt):
+    """(36, N) -> (N, 6, 6) (for the BCR bridge / tests)."""
+    return jnp.moveaxis(Dt, 0, -1).reshape(Dt.shape[-1], 6, 6)
 
 
 # ---------------------------------------------------------------------------

@@ -84,7 +84,7 @@ def _apply_step(q, t, s, dx_n, dx_s, node_mask, renormalize: bool):
     jax.jit,
     static_argnames=(
         "max_iterations", "max_cg_iterations", "renormalize", "preconditioner",
-        "freeze_preconditioner",
+        "freeze_preconditioner", "residual_mode", "use_switch",
     ),
 )
 def lm_solve(
@@ -101,60 +101,71 @@ def lm_solve(
     preconditioner: str = "band",   # "band" (BCR, default) | "jacobi"
     freeze_preconditioner: bool = False,  # factor once per solve (stale but
                                           # cheap) vs once per LM iteration
+    residual_mode: str = "6dof",    # "6dof" (active path) | "4dof" (Euler
+                                    # variant, CeresResidues.h:252-422)
+    use_switch: bool = True,        # False: plain loop edges, no switch vars
 ) -> LMResult:
     dt = problem.dtype
     f32 = lambda v: jnp.asarray(v, dt)
 
+    if residual_mode == "4dof":
+        assemble_fn = gn_ops.assemble_4dof_t
+        cost_fn = gn_ops.evaluate_cost_4dof
+    else:
+        assemble_fn = partial(gn_ops.assemble_t, use_switch=use_switch)
+        cost_fn = partial(gn_ops.evaluate_cost, use_switch=use_switch)
+
     q0, t0, s0 = problem.q, problem.t, problem.switch
-    cost0 = gn_ops.evaluate_cost(problem, q0, t0, s0)
+    cost0 = cost_fn(problem, q0, t0, s0)
 
     def make_precond(red):
-        """Build the preconditioner application for a ReducedSystem."""
+        """Preconditioner application for a ReducedSystemT ((6,Nc) vectors).
+        The BCR factorization runs on AoS super-node blocks (real (d,d)
+        matmuls want batched-matmul form); the bridge transposes are small."""
         if preconditioner == "band":
+            Dh_aos = gn_ops.t_blocks_to_aos(red.Dh)
+            Bh_aos = jnp.stack([gn_ops.t_blocks_to_aos(red.Bh[f])
+                                for f in range(problem.fanout)])
             A_band, C_band, _ = band_ops.build_band_system(
-                red.Dh, red.Bh, group=problem.fanout
+                Dh_aos, Bh_aos, group=problem.fanout
             )
             fac = band_ops.bcr_factorize(A_band, C_band, group=problem.fanout)
-            return lambda r: band_ops.band_precond_apply(fac, r)
-        Minv = smallinv.gauss_jordan_inv(red.Dh)
-        return lambda r: jnp.einsum("uij,uj->ui", Minv, r)
+            return lambda r: band_ops.band_precond_apply(fac, r.T).T
+        Minv = smallinv.gauss_jordan_inv(gn_ops.t_blocks_to_aos(red.Dh))
+        return lambda r: jnp.einsum("uij,uj->ui", Minv, r.T).T
+
+    def _assemble_reduce(q, t, s, radius):
+        blocks = assemble_fn(problem, q, t, s)
+        diag_n = blocks.D[jnp.arange(0, 36, 7)]                # (6, Nc)
+        diag_s = blocks.ds                                     # (Ec,)
+        scale_n = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag_n, 0)))
+        scale_s = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag_s, 0)))
+        # LM diagonal of the SCALED system, clamped as in Ceres
+        d2_n = jnp.clip(diag_n * scale_n * scale_n, MIN_LM_DIAGONAL,
+                        MAX_LM_DIAGONAL)
+        d2_s = jnp.clip(diag_s * scale_s * scale_s, MIN_LM_DIAGONAL,
+                        MAX_LM_DIAGONAL)
+        lm_n = d2_n / radius
+        lm_s = d2_s / radius
+        red = gn_ops.schur_reduce_t(blocks, problem, scale_n, scale_s,
+                                    lm_n, lm_s)
+        return blocks, red, scale_n, scale_s, lm_n, lm_s
 
     pc_frozen = None
     if freeze_preconditioner:
         # Factor ONCE per solve from the initial linearization/trust region.
         # Staleness after big early steps costs CG iterations, so this is
         # worthwhile only when factorization dominates (huge graphs).
-        blocks0 = gn_ops.assemble(problem, q0, t0, s0)
-        diag_n0 = jnp.diagonal(blocks0.D, axis1=-2, axis2=-1)
-        scale_n0 = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag_n0, 0)))
-        scale_s0 = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(blocks0.ds, 0)))
-        lm_n0 = jnp.clip(diag_n0 * scale_n0**2, MIN_LM_DIAGONAL,
-                         MAX_LM_DIAGONAL) / initial_radius
-        lm_s0 = jnp.clip(blocks0.ds * scale_s0**2, MIN_LM_DIAGONAL,
-                         MAX_LM_DIAGONAL) / initial_radius
-        red0 = gn_ops.schur_reduce(blocks0, problem, scale_n0, scale_s0,
-                                   lm_n0, lm_s0)
+        _, red0, *_ = _assemble_reduce(q0, t0, s0, initial_radius)
         pc_frozen = make_precond(red0)
 
     def body(state: _LoopState) -> _LoopState:
-        blocks = gn_ops.assemble(problem, state.q, state.t, state.s)
+        blocks, red, scale_n, scale_s, lm_n, lm_s = _assemble_reduce(
+            state.q, state.t, state.s, state.radius)
 
-        diag_n = jnp.diagonal(blocks.D, axis1=-2, axis2=-1)   # (Nc,6)
-        diag_s = blocks.ds                                     # (Ec,)
-        scale_n = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag_n, 0)))
-        scale_s = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag_s, 0)))
+        g_n_hat = blocks.g_n * scale_n                         # (6, Nc)
 
-        # LM diagonal of the SCALED system, clamped as in Ceres
-        d2_n = jnp.clip(diag_n * scale_n * scale_n, MIN_LM_DIAGONAL, MAX_LM_DIAGONAL)
-        d2_s = jnp.clip(diag_s * scale_s * scale_s, MIN_LM_DIAGONAL, MAX_LM_DIAGONAL)
-        lm_n = d2_n / state.radius
-        lm_s = d2_s / state.radius
-
-        g_n_hat = blocks.g_n * scale_n
-
-        # switch-eliminated node system for the CG solve
-        red = gn_ops.schur_reduce(blocks, problem, scale_n, scale_s, lm_n, lm_s)
-        mv_red = lambda p: gn_ops.reduced_matvec(red, problem, p)
+        mv_red = lambda p: gn_ops.reduced_matvec_t(red, problem, p)
         pc = pc_frozen if freeze_preconditioner else make_precond(red)
 
         sol = pcg_ops.pcg_nodes(
@@ -162,8 +173,8 @@ def lm_solve(
             max_iterations=max_cg_iterations, r_tolerance=cg_tolerance,
             q_tolerance=cg_q_tolerance,
         )
-        dxh_n = sol.x
-        dxh_s = gn_ops.recover_switches(red, problem, dxh_n)
+        dxh_n = sol.x                                          # (6, Nc)
+        dxh_s = gn_ops.recover_switches_t(red, problem, dxh_n)
 
         # model cost change: -g'.dx' - 0.5 dx'.H'.dx' (H' without the LM
         # diagonal, per Ceres' model), computed from REDUCED quantities — no
@@ -182,13 +193,14 @@ def lm_solve(
         gTdx = jnp.vdot(g_n_hat, dxh_n) - jnp.vdot(bs, dxh_s)
         model_cost_change = -gTdx - 0.5 * dxHdx
 
-        # un-scale and apply
-        dx_n = dxh_n * scale_n
+        # un-scale and apply (step application is AoS over nodes; the
+        # transpose of a (6,Nc) vector is cheap)
+        dx_n = (dxh_n * scale_n).T
         dx_s = dxh_s * scale_s
         q_new, t_new, s_new = _apply_step(
             state.q, state.t, state.s, dx_n, dx_s, problem.free_mask, renormalize
         )
-        new_cost = gn_ops.evaluate_cost(problem, q_new, t_new, s_new)
+        new_cost = cost_fn(problem, q_new, t_new, s_new)
 
         cost_change = state.cost - new_cost
         rho = cost_change / jnp.where(
@@ -254,7 +266,9 @@ def lm_solve(
     )
 
 
-def solve_problem(problem: Problem, solver_cfg) -> LMResult:
+def solve_problem(problem: Problem, solver_cfg,
+                  residual_mode: str = "6dof",
+                  use_switch: bool = True) -> LMResult:
     """Convenience wrapper driven by config.SolverConfig."""
     return lm_solve(
         problem,
@@ -267,4 +281,6 @@ def solve_problem(problem: Problem, solver_cfg) -> LMResult:
         parameter_tolerance=solver_cfg.parameter_tolerance,
         renormalize=solver_cfg.renormalize,
         preconditioner=solver_cfg.preconditioner,
+        residual_mode=residual_mode,
+        use_switch=use_switch,
     )

@@ -360,6 +360,218 @@ def node_prior_block_products(q, t, prior_q, prior_t, weight):
     return r * w, A * w2[..., None], g * w2
 
 
+# ---------------------------------------------------------------------------
+# transposed (entry-major) block products — the TPU layout
+#
+# TPU tiles the two minor dims to (8,128): an (N,6,6) f32 block tensor is
+# stored ~21x padded and every pass over it pays that in HBM. Entry-major
+# (36, N) layout puts the node axis in lanes: compact storage, full VPU
+# utilization (measured 9x on the band matvec). These functions compute the
+# same closed-form products as six_dof_block_products but entirely in scalar
+# components, emitting (36,)+batch stacks. Differentially tested against the
+# AoS versions.
+# ---------------------------------------------------------------------------
+
+
+def _qmul_c(p, q):
+    px, py, pz, pw = p
+    qx, qy, qz, qw = q
+    return (pw * qx + px * qw + py * qz - pz * qy,
+            pw * qy - px * qz + py * qw + pz * qx,
+            pw * qz + px * qy - py * qx + pz * qw,
+            pw * qw - px * qx - py * qy - pz * qz)
+
+
+def _qrot_c(q, v):
+    qx, qy, qz, qw = q
+    vx, vy, vz = v
+    ux = qy * vz - qz * vy
+    uy = qz * vx - qx * vz
+    uz = qx * vy - qy * vx
+    wx = qy * uz - qz * uy
+    wy = qz * ux - qx * uz
+    wz = qx * uy - qy * ux
+    return (vx + 2 * (qw * ux + wx),
+            vy + 2 * (qw * uy + wy),
+            vz + 2 * (qw * uz + wz))
+
+
+def _unpack4(q):
+    return q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+
+
+def _unpack3(t):
+    return t[..., 0], t[..., 1], t[..., 2]
+
+
+def _M_entries(q2, q1, obs_q):
+    """9 scalar entries (row-major) of the shared rotation-row block M."""
+    x2, y2, z2, w2 = _unpack4(q2)
+    a = (-x2, -y2, -z2, w2)                       # conj(q2)
+    b = _qmul_c(_unpack4(q1), _unpack4(obs_q))    # q1 (x) obs_q
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    # P = bw I - [bv]x ; Q = aw I + [av]x ; M = 2 (P Q - bv av^T)
+    P = ((bw, bz, -by), (-bz, bw, bx), (by, -bx, bw))
+    Q = ((aw, -az, ay), (az, aw, -ax), (-ay, ax, aw))
+    bv = (bx, by, bz)
+    av = (ax, ay, az)
+    M = []
+    for i in range(3):
+        for j in range(3):
+            s = P[i][0] * Q[0][j] + P[i][1] * Q[1][j] + P[i][2] * Q[2][j]
+            M.append(2.0 * (s - bv[i] * av[j]))
+    return M, a, b
+
+
+def _six_dof_products_core_t(q1, t1, q2, t2, obs_q, obs_t):
+    """Entry-major core products. Returns (rsq, core6, A11, A22, B12, g1, g2)
+    with rsq batch-shaped (sum of squared core rows), core6 a 6-tuple of
+    components, blocks 36-lists, grads 6-lists — all batch-shaped scalars."""
+    M, a, b = _M_entries(q2, q1, obs_q)
+    v = _qrot_c(_unpack4(q1), _unpack3(obs_t))
+    t1c = _unpack3(t1)
+    t2c = _unpack3(t2)
+    u = tuple(v[i] + t1c[i] - t2c[i] for i in range(3))
+    dt_ = _qrot_c((a[0], a[1], a[2], a[3]), u)     # R2^T u
+    dq = _qmul_c(a, b)                             # conj(q2) (x) q1 (x) obs_q
+    core_e = tuple(2.0 * dq[i] for i in range(3))
+    core = dt_ + core_e
+    rsq = sum(c * c for c in core)
+
+    MtM = [None] * 9
+    for i in range(3):
+        for j in range(i, 3):
+            s = M[0 + i] * M[0 + j] + M[3 + i] * M[3 + j] + M[6 + i] * M[6 + j]
+            MtM[3 * i + j] = s
+            MtM[3 * j + i] = s
+
+    v2 = v[0] * v[0] + v[1] * v[1] + v[2] * v[2]
+    u2 = u[0] * u[0] + u[1] * u[1] + u[2] * u[2]
+    uv = u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+    one = jnp.ones_like(v2)
+    zero = jnp.zeros_like(v2)
+
+    def sk(w3):   # 2[w]x entries, row-major
+        return (zero, -2.0 * w3[2], 2.0 * w3[1],
+                2.0 * w3[2], zero, -2.0 * w3[0],
+                -2.0 * w3[1], 2.0 * w3[0], zero)
+
+    sv = sk(v)
+    su = sk(u)
+
+    def blk(tl, tr, bl, br):
+        """4 row-major 9-entry 3x3 blocks -> 36-entry row-major 6x6 list."""
+        out = []
+        for i in range(3):
+            out += [tl[3 * i], tl[3 * i + 1], tl[3 * i + 2],
+                    tr[3 * i], tr[3 * i + 1], tr[3 * i + 2]]
+        for i in range(3):
+            out += [bl[3 * i], bl[3 * i + 1], bl[3 * i + 2],
+                    br[3 * i], br[3 * i + 1], br[3 * i + 2]]
+        return out
+
+    eye9 = (one, zero, zero, zero, one, zero, zero, zero, one)
+    neye9 = tuple(-e for e in eye9)
+
+    tl11 = [4.0 * (v2 * eye9[k] - v[k // 3] * v[k % 3]) + MtM[k]
+            for k in range(9)]
+    A11 = blk(tl11, sv, tuple(-e for e in sv), eye9)
+    tl22 = [4.0 * (u2 * eye9[k] - u[k // 3] * u[k % 3]) + MtM[k]
+            for k in range(9)]
+    A22 = blk(tl22, su, tuple(-e for e in su), eye9)
+    tl12 = [4.0 * (u[k // 3] * v[k % 3] - uv * eye9[k]) - MtM[k]
+            for k in range(9)]
+    B12 = blk(tl12, tuple(-e for e in sv), su, neye9)
+
+    vxu = (v[1] * u[2] - v[2] * u[1],
+           v[2] * u[0] - v[0] * u[2],
+           v[0] * u[1] - v[1] * u[0])
+    Mte = tuple(M[0 + i] * core_e[0] + M[3 + i] * core_e[1]
+                + M[6 + i] * core_e[2] for i in range(3))
+    g1 = [2.0 * vxu[i] + Mte[i] for i in range(3)] + [u[0], u[1], u[2]]
+    g2 = [-Mte[i] for i in range(3)] + [-u[0], -u[1], -u[2]]
+    return rsq, core, A11, A22, B12, g1, g2
+
+
+def six_dof_block_products_t(q1, t1, q2, t2, obs_q, obs_t, weight):
+    """Entry-major weighted products: (rsq, A11, A22, B12, g1, g2) with
+    rsq = w^2 |core|^2 (batch,), blocks (36,)+batch, grads (6,)+batch."""
+    rsq, _, A11, A22, B12, g1, g2 = _six_dof_products_core_t(
+        q1, t1, q2, t2, obs_q, obs_t)
+    w2 = weight * weight
+    st = lambda xs: jnp.stack([x * w2 for x in xs])
+    return rsq * w2, st(A11), st(A22), st(B12), st(g1), st(g2)
+
+
+def six_dof_switch_block_products_t(q1, t1, q2, t2, s, obs_q, obs_t, weight):
+    """Entry-major switch products: (rsq, A11, A22, B12, c1, c2, ds, g1, g2,
+    gs); rsq includes the 7th row (weight ignored — reference quirk)."""
+    del weight
+    csq, core, A11, A22, B12, g1c, g2c = _six_dof_products_core_t(
+        q1, t1, q2, t2, obs_q, obs_t)
+    s2 = s * s
+    one2s = 1.0 - 2.0 * s
+    r7 = s * (1.0 - s)
+    rsq = s2 * csq + r7 * r7
+    ds = csq + one2s * one2s
+    gs = s * csq + r7 * one2s
+    stb = lambda xs, f: jnp.stack([x * f for x in xs])
+    return (rsq, stb(A11, s2), stb(A22, s2), stb(B12, s2),
+            stb(g1c, s), stb(g2c, s), ds, stb(g1c, s2), stb(g2c, s2), gs)
+
+
+def node_prior_block_products_t(q, t, prior_q, prior_t, weight):
+    """Entry-major prior products: (rsq, A (36,)+batch, g (6,)+batch)."""
+    xp, yp, zp, wp = _unpack4(prior_q)
+    a = (-xp, -yp, -zp, wp)
+    qt = _unpack4(q)
+    tc = _unpack3(t)
+    tpc = _unpack3(prior_t)
+    diff = tuple(tc[i] - tpc[i] for i in range(3))
+    dt_ = _qrot_c(a, diff)
+    dq = _qmul_c(a, qt)
+    r_e = tuple(2.0 * dq[i] for i in range(3))
+    rsq = sum(c * c for c in dt_ + r_e)
+
+    # M with a = conj(prior_q), b = q
+    ax, ay, az, aw = a
+    bx, by, bz, bw = qt
+    P = ((bw, bz, -by), (-bz, bw, bx), (by, -bx, bw))
+    Q = ((aw, -az, ay), (az, aw, -ax), (-ay, ax, aw))
+    bv = (bx, by, bz)
+    av = (ax, ay, az)
+    M = []
+    for i in range(3):
+        for j in range(3):
+            sv = P[i][0] * Q[0][j] + P[i][1] * Q[1][j] + P[i][2] * Q[2][j]
+            M.append(2.0 * (sv - bv[i] * av[j]))
+    MtM = [None] * 9
+    for i in range(3):
+        for j in range(i, 3):
+            sv = (M[0 + i] * M[0 + j] + M[3 + i] * M[3 + j]
+                  + M[6 + i] * M[6 + j])
+            MtM[3 * i + j] = sv
+            MtM[3 * j + i] = sv
+    one = jnp.ones_like(rsq)
+    zero = jnp.zeros_like(rsq)
+    eye9 = (one, zero, zero, zero, one, zero, zero, zero, one)
+    zero9 = (zero,) * 9
+    A = []
+    for i in range(3):
+        A += [MtM[3 * i], MtM[3 * i + 1], MtM[3 * i + 2],
+              zero, zero, zero]
+    for i in range(3):
+        A += [zero, zero, zero, eye9[3 * i], eye9[3 * i + 1], eye9[3 * i + 2]]
+    del zero9
+    Mte = tuple(M[0 + i] * r_e[0] + M[3 + i] * r_e[1] + M[6 + i] * r_e[2]
+                for i in range(3))
+    g = list(Mte) + list(diff)
+    w2 = weight * weight
+    return (rsq * w2, jnp.stack([x * w2 for x in A]),
+            jnp.stack([x * w2 for x in g]))
+
+
 def node_prior_residual_jac(q, t, prior_q, prior_t, weight):
     """(r, J) for the prior residual — analytic.
 

@@ -329,7 +329,9 @@ class SolverEngine:
                                   p_cap, dtype, ea, eb, eq, et, ew, loop_valid,
                                   vio_q, vio_t)
         from solve_keyframe_pose_graph_tpu.ops.lm import solve_problem
-        return solve_problem(problem, cfg.solver)
+        return solve_problem(
+            problem, cfg.solver, residual_mode=cfg.residual.mode,
+            use_switch=cfg.residual.use_switch_constraints)
 
     def _build(self, node_len, edge_len, node_worlds, prior_idx, prior_q,
                prior_t, prior_w, n_cap, e_cap, p_cap, dtype, ea, eb, eq, et,
