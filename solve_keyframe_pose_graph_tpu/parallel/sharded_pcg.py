@@ -1,0 +1,197 @@
+"""Explicitly-sharded PCG over an ICI mesh (shard_map + hand-placed
+collectives) — the scale-out path when a graph exceeds one chip's HBM.
+
+Decomposition (the "long-context" analog for pose chains, SURVEY.md §2.3):
+  * node axis sharded trajectory-contiguously: each device owns a contiguous
+    block of Nc/P nodes (entry-major blocks (36, Nc/P), vectors (6, Nc/P));
+  * the odometry band couples each node only to its F predecessors, so the
+    band matvec needs a width-F halo of x from the LEFT neighbor only
+    (jax.lax.ppermute); the transposed band term is rewritten with the
+    pre-shifted band Bup[f,k,u] = B[f,k,u+f+1] (computed globally before
+    sharding) so it consumes a RIGHT halo of x instead of producing
+    cross-shard output;
+  * loop-closure edges are sharded by edge; their endpoints are arbitrary,
+    so each CG iteration all-gathers x (tiny: 6*Nc floats), computes local
+    per-edge contributions, and reduce-scatters the node results back to
+    their owners (psum_scatter over ICI);
+  * CG dot products are psum reductions;
+  * preconditioner: per-shard BCR of the LOCAL band (cross-shard band links
+    dropped from the preconditioner only — a block-Jacobi-of-bands; CG
+    correctness is unaffected, a few extra iterations at shard seams).
+
+Validated on a virtual 8-device CPU mesh against the single-device solver
+(tests/test_sharded_pcg.py); the same program runs unchanged on a real ICI
+mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from solve_keyframe_pose_graph_tpu.ops import band as band_ops
+from solve_keyframe_pose_graph_tpu.ops import gn as gn_ops
+from solve_keyframe_pose_graph_tpu.ops import pallas_band
+
+
+def _left_halo(x, f, axis_name):
+    """Last f lane-columns of the LEFT neighbor (zeros on device 0)."""
+    P_ = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    tail = x[..., -f:]
+    perm = [(i, i + 1) for i in range(P_ - 1)]
+    recv = jax.lax.ppermute(tail, axis_name, perm)
+    return jnp.where(idx > 0, recv, jnp.zeros_like(recv))
+
+
+def _right_halo(x, f, axis_name):
+    """First f lane-columns of the RIGHT neighbor (zeros on the last)."""
+    P_ = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    head = x[..., :f]
+    perm = [(i + 1, i) for i in range(P_ - 1)]
+    recv = jax.lax.ppermute(head, axis_name, perm)
+    return jnp.where(idx < P_ - 1, recv, jnp.zeros_like(recv))
+
+
+def _band_matvec_local(Dh, Blo, Bup, x_ext, F, nl):
+    """y = D x + band terms, reading the halo-extended x_ext (6, nl+2F)."""
+    c = slice(F, F + nl)
+
+    def bmv_rows(M, xs):
+        return jnp.stack([
+            sum(M[6 * i + j] * xs[j] for j in range(6)) for i in range(6)
+        ])
+
+    xc = x_ext[:, c]
+    y = bmv_rows(Dh, xc)
+    for f in range(F):
+        xlo = x_ext[:, F - f - 1: F - f - 1 + nl]
+        xhi = x_ext[:, F + f + 1: F + f + 1 + nl]
+        y = y + bmv_rows(Blo[f], xlo)
+        y = y + jnp.stack([
+            sum(Bup[f][6 * j + i] * xhi[j] for j in range(6))
+            for i in range(6)
+        ])
+    return y
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "axis_name", "max_iterations",
+                          "r_tolerance", "fanout"))
+def pcg_sharded(Dh, Bh, Aba_h, loop_b, loop_a, rhs, *, mesh: Mesh,
+                axis_name: str = "graph", max_iterations: int = 100,
+                r_tolerance: float = 1e-7, fanout: int = 5):
+    """Solve H_red x = rhs with CG over the mesh.
+
+    Dh (36, Nc), Bh (F, 36, Nc), Aba_h (36, Ec), loop_b/a (Ec,), rhs (6, Nc)
+    are GLOBAL arrays; this function shards them (nodes/lanes and edges) and
+    runs the explicitly-collective CG. Returns the global solution (6, Nc).
+    """
+    F = fanout
+    Nc = rhs.shape[-1]
+    Bup = pallas_band.shift_band_up(Bh)
+
+    node = NamedSharding(mesh, P(None, axis_name))
+    band = NamedSharding(mesh, P(None, None, axis_name))
+    edge = NamedSharding(mesh, P(axis_name))
+    edge2 = NamedSharding(mesh, P(None, axis_name))
+
+    Dh = jax.lax.with_sharding_constraint(Dh, node)
+    Bh = jax.lax.with_sharding_constraint(Bh, band)
+    Bup = jax.lax.with_sharding_constraint(Bup, band)
+    Aba_h = jax.lax.with_sharding_constraint(Aba_h, edge2)
+    loop_b = jax.lax.with_sharding_constraint(loop_b, edge)
+    loop_a = jax.lax.with_sharding_constraint(loop_a, edge)
+    rhs = jax.lax.with_sharding_constraint(rhs, node)
+
+    from jax.experimental.shard_map import shard_map
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, axis_name), P(None, None, axis_name),
+                  P(None, None, axis_name), P(None, axis_name),
+                  P(axis_name), P(axis_name), P(None, axis_name)),
+        out_specs=P(None, axis_name),
+    )
+    def run(Dh_l, Blo_l, Bup_l, Aba_l, lb_l, la_l, rhs_l):
+        nl = rhs_l.shape[-1]
+        idx = jax.lax.axis_index(axis_name)
+        base = idx * nl                        # global offset of local nodes
+
+        # local band preconditioner (BCR of the local band)
+        Dh_aos = gn_ops.t_blocks_to_aos(Dh_l)
+        Bh_aos = jnp.stack([gn_ops.t_blocks_to_aos(Blo_l[f])
+                            for f in range(F)])
+        A_band, C_band, _ = band_ops.build_band_system(Dh_aos, Bh_aos,
+                                                       group=F)
+        fac = band_ops.bcr_factorize(A_band, C_band, group=F)
+
+        def precond(r):
+            return band_ops.band_precond_apply(fac, r.T).T
+
+        def matvec(x_l):
+            lh = _left_halo(x_l, F, axis_name)
+            rh = _right_halo(x_l, F, axis_name)
+            x_ext = jnp.concatenate([lh, x_l, rh], axis=-1)
+            y = _band_matvec_local(Dh_l, Blo_l, Bup_l, x_ext, F, nl)
+
+            # loop edges: gather global x, local per-edge products,
+            # reduce-scatter results to owners
+            xg = jax.lax.all_gather(x_l, axis_name, axis=1, tiled=True)
+            xgT = xg.T                                    # (Nc, 6)
+            xb = xgT[lb_l].T                              # (6, Eloc)
+            xa = xgT[la_l].T
+            vb = jnp.stack([
+                sum(Aba_l[6 * i + j] * xa[j] for j in range(6))
+                for i in range(6)])
+            va = jnp.stack([
+                sum(Aba_l[6 * i + j] * xb[i] for i in range(6))
+                for j in range(6)])
+            contrib = jnp.zeros((Nc, 6), x_l.dtype)
+            contrib = contrib.at[lb_l].add(vb.T)
+            contrib = contrib.at[la_l].add(va.T)
+            # sum across devices, keep own node block: (P, nl, 6) scatter
+            contrib = contrib.reshape(-1, nl, 6)
+            mine = jax.lax.psum_scatter(contrib, axis_name,
+                                        scatter_dimension=0, tiled=False)
+            return y + mine.T
+
+        def pdot(a, b):
+            return jax.lax.psum(jnp.vdot(a, b), axis_name)
+
+        b_norm = jnp.sqrt(pdot(rhs_l, rhs_l))
+        threshold = r_tolerance * b_norm
+        x = jnp.zeros_like(rhs_l)
+        r = rhs_l
+        z = precond(r)
+        p = z
+        rz = pdot(r, z)
+
+        def cond(st):
+            x, r, p, rz, k = st
+            return jnp.logical_and(k < max_iterations,
+                                   jnp.sqrt(pdot(r, r)) > threshold)
+
+        def body(st):
+            x, r, p, rz, k = st
+            Ap = matvec(p)
+            pAp = pdot(p, Ap)
+            alpha = rz / jnp.where(pAp <= 0, 1.0, pAp)
+            alpha = jnp.where(pAp <= 0, 0.0, alpha)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = precond(r)
+            rz2 = pdot(r, z)
+            beta = rz2 / jnp.where(rz == 0, 1.0, rz)
+            return (x, r, z + beta * p, rz2, k + 1)
+
+        x, r, p, rz, k = jax.lax.while_loop(
+            cond, body, (x, r, p, rz, jnp.int32(0)))
+        return x
+
+    return run(Dh, Bh, Bup, Aba_h, loop_b, loop_a, rhs)
