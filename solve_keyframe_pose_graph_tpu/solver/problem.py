@@ -208,8 +208,6 @@ def build_problem_np(
     p = len(prior_idx)
     assert n <= n_cap and e <= e_cap and p <= p_cap, (n, e, p, n_cap, e_cap, p_cap)
 
-    prob = empty_problem(n_cap, e_cap, p_cap, fanout, jnp.dtype(dtype))
-
     # --- nodes
     qf = np.zeros((n_cap, 4), dtype); qf[:, 3] = 1.0
     tf = np.zeros((n_cap, 3), dtype)
@@ -282,19 +280,56 @@ def build_problem_np(
     inc_b, inc_b_m = build_incidence(lb[:e] if e else np.zeros(0, np.int64),
                                      n_cap)
 
-    return dataclasses.replace(
-        prob,
-        q=jnp.asarray(qf), t=jnp.asarray(tf), node_mask=jnp.asarray(nm),
-        free_mask=jnp.asarray(fm),
-        odo_q=jnp.asarray(oq), odo_t=jnp.asarray(ot),
-        odo_w=jnp.asarray(ow), odo_mask=jnp.asarray(om),
-        loop_a=jnp.asarray(la), loop_b=jnp.asarray(lb),
-        loop_q=jnp.asarray(lq), loop_t=jnp.asarray(lt),
-        loop_w=jnp.asarray(lw), loop_mask=jnp.asarray(lm),
-        switch=jnp.asarray(sw),
-        prior_idx=jnp.asarray(pi), prior_q=jnp.asarray(pq_),
-        prior_t=jnp.asarray(pt_), prior_w=jnp.asarray(pw_),
-        prior_mask=jnp.asarray(pm_),
-        inc_a=jnp.asarray(inc_a), inc_a_m=jnp.asarray(inc_a_m, dtype),
-        inc_b=jnp.asarray(inc_b), inc_b_m=jnp.asarray(inc_b_m, dtype),
+    # assemble the full pytree in HOST numpy first, then transfer as TWO
+    # packed flat buffers (floats + int32) unpacked device-side in one
+    # jitted program: per-array transfers each pay a host<->device round
+    # trip (~35 ms on a tunneled device; 24 leaves cost ~860 ms/trigger
+    # before packing)
+    host = Problem(
+        q=qf, t=tf, node_mask=nm, free_mask=fm,
+        odo_q=oq, odo_t=ot, odo_w=ow, odo_mask=om,
+        loop_a=la.astype(np.int32), loop_b=lb.astype(np.int32),
+        loop_q=lq, loop_t=lt, loop_w=lw, loop_mask=lm, switch=sw,
+        prior_idx=pi.astype(np.int32), prior_q=pq_, prior_t=pt_,
+        prior_w=pw_, prior_mask=pm_,
+        inc_a=inc_a, inc_a_m=inc_a_m.astype(dtype),
+        inc_b=inc_b, inc_b_m=inc_b_m.astype(dtype),
     )
+    return transfer_problem(host)
+
+
+@partial(jax.jit, static_argnames=("sizes", "shapes", "kinds"))
+def _unpack_problem(fbuf, ibuf, sizes, shapes, kinds):
+    out = []
+    fo = io = 0
+    for size, shape, kind in zip(sizes, shapes, kinds):
+        if kind == "i":
+            out.append(jax.lax.dynamic_slice_in_dim(
+                ibuf, io, size).reshape(shape))
+            io += size
+        else:
+            out.append(jax.lax.dynamic_slice_in_dim(
+                fbuf, fo, size).reshape(shape))
+            fo += size
+    return out
+
+
+def transfer_problem(host: Problem) -> Problem:
+    """Host-numpy Problem -> device, via two packed flat buffers."""
+    names = [f.name for f in dataclasses.fields(Problem)]
+    leaves = [np.asarray(getattr(host, n)) for n in names]
+    float_dt = leaves[0].dtype
+    fparts, iparts, kinds, shapes = [], [], [], []
+    for arr in leaves:
+        shapes.append(tuple(arr.shape))
+        if arr.dtype == np.int32:
+            kinds.append("i")
+            iparts.append(arr.ravel())
+        else:
+            kinds.append("f")
+            fparts.append(arr.ravel().astype(float_dt))
+    fbuf = jnp.asarray(np.concatenate(fparts))
+    ibuf = jnp.asarray(np.concatenate(iparts))
+    sizes = tuple(int(np.prod(s)) if s else 1 for s in shapes)
+    vals = _unpack_problem(fbuf, ibuf, sizes, tuple(shapes), tuple(kinds))
+    return Problem(**dict(zip(names, vals)))
