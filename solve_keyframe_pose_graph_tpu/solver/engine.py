@@ -126,8 +126,12 @@ class SolverEngine:
     def trigger(self) -> bool:
         """One poll of the solver loop. Returns True if a solve ran."""
         store = self.store
-        node_len = store.node_len
+        # snapshot order matters under concurrent ingest: nodes are appended
+        # BEFORE the edges that reference them, so reading edge_len FIRST
+        # guarantees every edge < edge_len has endpoints < node_len (the
+        # reference guards this with mutexes; we guard with ordering)
         edge_len = store.edge_len
+        node_len = store.node_len
 
         if edge_len == self.prev_edge_len:
             self.status = 0
@@ -157,7 +161,8 @@ class SolverEngine:
         self._n_switch = max(self._n_switch, edge_len)
 
         with timer.phase("world_mapping"):
-            node_worlds = store.node_worlds()
+            # slice to the snapshot (the store may have grown concurrently)
+            node_worlds = store.node_worlds()[:node_len]
 
         # ---- 1/2: new loop edges; inter-world first contact
         for e in range(self.prev_edge_len, edge_len):
@@ -339,7 +344,11 @@ class SolverEngine:
         cap = cfg.capacity
 
         ea, eb, eq, et, ew, emask = store.edge_arrays()
+        ea, eb, eq, et, ew, emask = (ea[:edge_len], eb[:edge_len],
+                                     eq[:edge_len], et[:edge_len],
+                                     ew[:edge_len], emask[:edge_len])
         _, vio_q, vio_t = store.node_arrays()
+        vio_q, vio_t = vio_q[:node_len], vio_t[:node_len]
 
         # dead-zone masking for edges (reference :1400,1431)
         loop_valid = emask.copy()
