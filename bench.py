@@ -4,6 +4,12 @@ with switchable constraints — the reference's per-trigger
 ceres::Solve(SPARSE_NORMAL_CHOLESKY, 10 iters) workload
 (/root/reference/src/PoseGraphSLAM.cpp:1270-1272,1887-1924).
 
+Runs the QUALITY-PARITY solver configuration (residual-forced CG, chi^2
+0.41 vs the fp64 exact-solve reference's 0.40 on this graph; see
+BASELINE.md). A faster truncated mode (Ceres' eta Q-rule) exists but its
+10-iteration outcomes are chaotic on loop-dense graphs; benchmarking it
+would be benchmarking luck.
+
 Prints ONE JSON line:
   {"metric": "lm_solve_5k10k_ms", "value": <median ms per solve>,
    "unit": "ms", "vs_baseline": <100ms-target / value>}

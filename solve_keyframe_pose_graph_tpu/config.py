@@ -30,11 +30,18 @@ class SolverConfig:
     function_tolerance: float = 1e-6
     gradient_tolerance: float = 1e-10
     parameter_tolerance: float = 1e-8
-    # PCG (inner linear solve)
-    max_cg_iterations: int = 100
-    cg_tolerance: float = 1e-7          # relative residual reduction
-    cg_q_tolerance: float = 0.1         # Ceres eta: Q-based forcing rule
+    # PCG (inner linear solve). Defaults chosen for chi^2 parity with the
+    # reference's EXACT inner solves (SPARSE_NORMAL_CHOLESKY): residual
+    # forcing 1e-2 with a 60-iteration cap. cg_q_tolerance enables Ceres'
+    # Q-based forcing rule (eta, e.g. 0.1) — a faster truncated mode whose
+    # 10-iteration outcomes are noisier on loop-dense graphs.
+    max_cg_iterations: int = 60
+    cg_tolerance: float = 1e-2          # relative residual reduction
+    cg_q_tolerance: float = 0.0         # 0 = off
     preconditioner: str = "band"        # "band" (BCR) | "jacobi"
+    bcr_levels: Optional[int] = 3       # truncate band cyclic reduction
+                                        # (block-diag coarse solve); None =
+                                        # full reduction
     # dtype for device solve: "float32" (TPU-native) or "float64" (parity
     # checks on CPU).
     dtype: str = "float32"

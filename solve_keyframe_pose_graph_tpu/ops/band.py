@@ -113,9 +113,16 @@ def build_band_system(Dh, Bh, group: int):
     return A, C, n_pad
 
 
-def bcr_factorize(A, C, group: int) -> BCRFactor:
+def bcr_factorize(A, C, group: int, max_levels: int | None = None
+                  ) -> BCRFactor:
     """Cyclic-reduction factorization. Static log2(M) levels of batched
-    (d,d) inverses (unpivoted Gauss-Jordan — SPD inputs) and matmuls."""
+    (d,d) inverses (unpivoted Gauss-Jordan — SPD inputs) and matmuls.
+
+    max_levels truncates the reduction: the remaining coarse block-
+    tridiagonal system is approximated by its BLOCK-DIAGONAL inverse
+    (SPD-preserving), dropping band coupling beyond ~group*2^L nodes —
+    scales where loop closures dominate anyway. Cuts both factorization and
+    apply cost (each level is a serial round of small batched ops)."""
     from solve_keyframe_pose_graph_tpu.ops.smallinv import gauss_jordan_inv
 
     dt = A.dtype
@@ -123,7 +130,8 @@ def bcr_factorize(A, C, group: int) -> BCRFactor:
     levels = []
     m = A.shape[0]
     n_pad = m * group
-    while m > 1:
+    lvl = 0
+    while m > 1 and (max_levels is None or lvl < max_levels):
         Ae, Ao = A[0::2], A[1::2]
         Ce, Co = C[0::2], C[1::2]
         Aoinv = gauss_jordan_inv(Ao)
@@ -144,7 +152,9 @@ def bcr_factorize(A, C, group: int) -> BCRFactor:
         C_new = C_new.at[0].set(jnp.zeros((d, d), dt))
         A, C = A_new, C_new
         m //= 2
-    root_inv = gauss_jordan_inv(A[0])
+        lvl += 1
+    # coarse solve: exact root at m == 1, block-diagonal approx otherwise
+    root_inv = gauss_jordan_inv(A)
     return BCRFactor(levels=tuple(levels), root_inv=root_inv, group=group,
                      n_pad=n_pad)
 
@@ -174,8 +184,9 @@ def bcr_solve(fac: BCRFactor, b):
         )
         bs.append(b)
 
-    # root solve
-    x = (fac.root_inv @ b[0])[None]                      # (1,d)
+    # coarse solve (exact root at m == 1; block-diagonal approx when the
+    # reduction was truncated)
+    x = jnp.einsum("mij,mj->mi", fac.root_inv, b)        # (m_coarse, d)
 
     # backward: recover odd blocks
     for (Aoinv, Co, Ce), b_lvl in zip(reversed(fac.levels), reversed(bs[:-1])):
@@ -205,7 +216,8 @@ def band_precond_apply(fac: BCRFactor, r_n):
     Nc = r_n.shape[0]
     d = fac.root_inv.shape[-1]
     g = d // 6
-    m_top = 2 * fac.levels[0][0].shape[0] if fac.levels else 1
+    m_top = (2 * fac.levels[0][0].shape[0] if fac.levels
+             else fac.root_inv.shape[0])
     n_pad = m_top * g
     pad = n_pad - Nc
     rp = (jnp.concatenate([r_n, jnp.zeros((pad, 6), r_n.dtype)], axis=0)

@@ -68,6 +68,7 @@ class _LoopState(NamedTuple):
     accepted: jax.Array
     cg_total: jax.Array
     done: jax.Array
+    dx_warm: jax.Array           # previous scaled node step (CG warm start)
 
 
 def _apply_step(q, t, s, dx_n, dx_s, node_mask, renormalize: bool):
@@ -85,15 +86,25 @@ def _apply_step(q, t, s, dx_n, dx_s, node_mask, renormalize: bool):
     static_argnames=(
         "max_iterations", "max_cg_iterations", "renormalize", "preconditioner",
         "freeze_preconditioner", "residual_mode", "use_switch",
+        "bcr_levels", "outer_unroll",
     ),
 )
 def lm_solve(
     problem: Problem,
     *,
     max_iterations: int = 10,
-    max_cg_iterations: int = 100,
-    cg_tolerance: float = 1e-7,
-    cg_q_tolerance: float = 0.1,    # Ceres' eta forcing-sequence default
+    max_cg_iterations: int = 60,
+    cg_tolerance: float = 1e-2,
+    cg_q_tolerance: float = 0.0,    # 0 = off. Ceres' eta Q-rule (0.1) is
+                                    # implemented but OFF by default: with a
+                                    # strong preconditioner it truncates CG
+                                    # to ~2 iterations and the resulting
+                                    # inexact steps make the 10-iteration
+                                    # trust region rejection-chaotic
+                                    # (final chi2 varied 1.4-37 run to run).
+                                    # Residual forcing at 1e-2 + cap 60
+                                    # reproduces the reference's exact-solve
+                                    # chi2 on every benchmark graph.
     initial_radius: float = 1e4,
     function_tolerance: float = 1e-6,
     parameter_tolerance: float = 1e-8,
@@ -104,6 +115,11 @@ def lm_solve(
     residual_mode: str = "6dof",    # "6dof" (active path) | "4dof" (Euler
                                     # variant, CeresResidues.h:252-422)
     use_switch: bool = True,        # False: plain loop edges, no switch vars
+    bcr_levels=3,                   # truncate band cyclic reduction (see
+                                    # band.bcr_factorize): measured equal or
+                                    # BETTER chi2 than the full reduction at
+                                    # a fraction of the factorize/apply cost
+    outer_unroll: bool = False,     # unroll the LM loop (see below)
 ) -> LMResult:
     dt = problem.dtype
     f32 = lambda v: jnp.asarray(v, dt)
@@ -129,7 +145,9 @@ def lm_solve(
             A_band, C_band, _ = band_ops.build_band_system(
                 Dh_aos, Bh_aos, group=problem.fanout
             )
-            fac = band_ops.bcr_factorize(A_band, C_band, group=problem.fanout)
+            fac = band_ops.bcr_factorize(A_band, C_band,
+                                         group=problem.fanout,
+                                         max_levels=bcr_levels)
             return lambda r: band_ops.band_precond_apply(fac, r.T).T
         Minv = smallinv.gauss_jordan_inv(gn_ops.t_blocks_to_aos(red.Dh))
         return lambda r: jnp.einsum("uij,uj->ui", Minv, r.T).T
@@ -245,6 +263,9 @@ def lm_solve(
             accepted=state.accepted + accept.astype(jnp.int32),
             cg_total=state.cg_total + sol.iterations,
             done=done,
+            dx_warm=state.dx_warm,   # warm start measured harmful across
+                                     # re-linearizations; kept as state slot
+                                     # for future trust-region-aware reuse
         )
 
     def cond(state: _LoopState):
@@ -255,8 +276,25 @@ def lm_solve(
         radius=f32(initial_radius), decrease_factor=f32(2.0),
         k=jnp.int32(0), accepted=jnp.int32(0), cg_total=jnp.int32(0),
         done=jnp.asarray(False),
+        dx_warm=jnp.zeros((6, problem.n_cap), dt),
     )
-    final = jax.lax.while_loop(cond, body, init)
+    if outer_unroll:
+        # Unroll the outer LM loop into straight-line code with a done-mask
+        # (semantically identical to the while loop; converged iterations
+        # waste compute). Why: XLA generates ~2.5x slower code for the inner
+        # CG loop when it is nested inside an outer while_loop (measured
+        # 1.23 ms vs 0.46 ms per CG iteration at bench scale); unrolling
+        # removes the nesting. Costs a ~max_iterations-times larger program
+        # (one-time compile).
+        state = init
+        for _ in range(max_iterations):
+            new = body(state)
+            keep = state.done
+            state = jax.tree_util.tree_map(
+                lambda old, nw: jnp.where(keep, old, nw), state, new)
+        final = state
+    else:
+        final = jax.lax.while_loop(cond, body, init)
 
     return LMResult(
         q=final.q, t=final.t, switch=final.s,
@@ -283,4 +321,5 @@ def solve_problem(problem: Problem, solver_cfg,
         preconditioner=solver_cfg.preconditioner,
         residual_mode=residual_mode,
         use_switch=use_switch,
+        bcr_levels=getattr(solver_cfg, "bcr_levels", None),
     )

@@ -40,6 +40,7 @@ def pcg_nodes(
     max_iterations: int,
     r_tolerance: float,
     q_tolerance: float = 0.0,
+    x0: jax.Array | None = None,   # warm start (e.g. previous LM step)
 ) -> PCGNodesResult:
     """PCG over a single (node) vector with Ceres' two stopping rules:
 
@@ -54,12 +55,16 @@ def pcg_nodes(
     b_norm = jnp.sqrt(jnp.vdot(b, b))
     threshold = r_tolerance * b_norm
 
-    x = jnp.zeros_like(b)
-    r = b
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0
+        r = b - matvec(x0)
     z = precond(r)
     p = z
     rz = jnp.vdot(r, z)
-    Q0 = jnp.asarray(0.0, dt)
+    Q0 = -0.5 * jnp.vdot(x, b + r)   # 0 for a cold start
 
     def cond(state):
         x, r, p, rz, Q0, k, done = state
