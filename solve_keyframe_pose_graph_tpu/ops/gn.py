@@ -605,37 +605,61 @@ def schur_reduce_t(gn: GNBlocksT, problem: Problem, scale_n, scale_s,
                           chb=chb, cha=cha, ds_inv=ds_inv, rhs_s=rhs_s)
 
 
-def reduced_matvec_t(red: ReducedSystemT, problem: Problem, p_n):
-    """y = H_red p, p (6, Nc) — the lane-parallel hot op of every CG iter."""
-    F = problem.fanout
+def _bmv(Bf, x):          # y_i = sum_j Bf[6i+j] * x[j]
+    return jnp.stack([
+        sum(Bf[6 * i + j] * x[j] for j in range(6)) for i in range(6)
+    ])
+
+
+def _bmv_T(Bf, x):        # y_j = sum_i Bf[6i+j] * x[i]
+    return jnp.stack([
+        sum(Bf[6 * i + j] * x[i] for i in range(6)) for j in range(6)
+    ])
+
+
+def loop_matvec_t(red: ReducedSystemT, problem: Problem, p_n):
+    """Loop-edge rows of the reduced matvec (gather + flat scatter)."""
     dt = p_n.dtype
     Nc = p_n.shape[-1]
-
-    def bmv(Bf, x):       # y_i = sum_j Bf[6i+j] * x[j]
-        return jnp.stack([
-            sum(Bf[6 * i + j] * x[j] for j in range(6)) for i in range(6)
-        ])
-
-    def bmv_T(Bf, x):     # y_j = sum_i Bf[6i+j] * x[i]
-        return jnp.stack([
-            sum(Bf[6 * i + j] * x[i] for i in range(6)) for j in range(6)
-        ])
-
-    y = bmv(red.Dh, p_n)
-    for f in range(F):
-        y = y + bmv(red.Bh[f], shift_lanes_down(p_n, f + 1))
-        y = y + shift_lanes_up(bmv_T(red.Bh[f], p_n), f + 1)
-
     # row-gather via one small transpose (lane-dim gathers measured ~10x
     # slower than row gathers at this scale)
     pT = p_n.T                         # (Nc, 6)
     xb = pT[problem.loop_b].T          # (6, Ec)
     xa = pT[problem.loop_a].T
-    vb = bmv(red.Aba_h, xa)            # (6, Ec)
-    va = bmv_T(red.Aba_h, xb)
+    vb = _bmv(red.Aba_h, xa)           # (6, Ec)
+    va = _bmv_T(red.Aba_h, xb)
     yl = jnp.zeros((Nc, 6), dt).at[problem.loop_b].add(vb.T)
     yl = yl.at[problem.loop_a].add(va.T)
-    return y + yl.T
+    return yl.T
+
+
+def band_matvec_t(red: ReducedSystemT, problem: Problem, p_n):
+    """Band rows of the reduced matvec (XLA fused form)."""
+    F = problem.fanout
+    y = _bmv(red.Dh, p_n)
+    for f in range(F):
+        y = y + _bmv(red.Bh[f], shift_lanes_down(p_n, f + 1))
+        y = y + shift_lanes_up(_bmv_T(red.Bh[f], p_n), f + 1)
+    return y
+
+
+def reduced_matvec_t(red: ReducedSystemT, problem: Problem, p_n,
+                     impl: str = "xla", Bup=None):
+    """y = H_red p, p (6, Nc) — the lane-parallel hot op of every CG iter.
+
+    impl="pallas" runs the band part through the fused Pallas kernel
+    (ops/pallas_band.py): measured ~0.1 ms/iteration faster INSIDE the LM
+    loop, where XLA's in-context codegen is ~2.5x slower than isolated (the
+    kernel's explicit layout is immune). Pass Bup = shift_band_up(red.Bh)
+    precomputed (loop-invariant) when calling from inside CG."""
+    if impl == "pallas":
+        from solve_keyframe_pose_graph_tpu.ops import pallas_band
+        if Bup is None:
+            Bup = pallas_band.shift_band_up(red.Bh)
+        y = pallas_band.band_matvec_pre(red.Dh, red.Bh, Bup, p_n,
+                                        block_n=256)
+        return y + loop_matvec_t(red, problem, p_n)
+    return band_matvec_t(red, problem, p_n) + loop_matvec_t(red, problem, p_n)
 
 
 def recover_switches_t(red: ReducedSystemT, problem: Problem, x_n):

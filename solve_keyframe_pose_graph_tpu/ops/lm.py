@@ -86,7 +86,7 @@ def _apply_step(q, t, s, dx_n, dx_s, node_mask, renormalize: bool):
     static_argnames=(
         "max_iterations", "max_cg_iterations", "renormalize", "preconditioner",
         "freeze_preconditioner", "residual_mode", "use_switch",
-        "bcr_levels", "outer_unroll",
+        "bcr_levels", "outer_unroll", "matvec_impl",
     ),
 )
 def lm_solve(
@@ -120,9 +120,14 @@ def lm_solve(
                                     # BETTER chi2 than the full reduction at
                                     # a fraction of the factorize/apply cost
     outer_unroll: bool = False,     # unroll the LM loop (see below)
+    matvec_impl: str = "auto",      # "auto" (pallas on TPU, xla on CPU) |
+                                    # "xla" | "pallas"
 ) -> LMResult:
     dt = problem.dtype
     f32 = lambda v: jnp.asarray(v, dt)
+
+    if matvec_impl == "auto":
+        matvec_impl = "xla" if jax.default_backend() == "cpu" else "pallas"
 
     if residual_mode == "4dof":
         assemble_fn = gn_ops.assemble_4dof_t
@@ -183,7 +188,13 @@ def lm_solve(
 
         g_n_hat = blocks.g_n * scale_n                         # (6, Nc)
 
-        mv_red = lambda p: gn_ops.reduced_matvec_t(red, problem, p)
+        if matvec_impl == "pallas":
+            from solve_keyframe_pose_graph_tpu.ops import pallas_band
+            Bup = pallas_band.shift_band_up(red.Bh)   # hoisted out of CG
+        else:
+            Bup = None
+        mv_red = lambda p: gn_ops.reduced_matvec_t(red, problem, p,
+                                                   impl=matvec_impl, Bup=Bup)
         pc = pc_frozen if freeze_preconditioner else make_precond(red)
 
         sol = pcg_ops.pcg_nodes(
