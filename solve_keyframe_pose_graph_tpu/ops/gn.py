@@ -117,15 +117,6 @@ def evaluate_cost(problem: Problem, q, t, s, use_switch: bool = True
     )
 
 
-def edge_to_node(values, inc, mask):
-    """Sum per-edge quantities onto nodes via padded incidence gathers
-    (values (Ec, ...) -> (Nc, ...)). Kept for reference; flat-36 scatters
-    (scatter_blocks) measured faster at bench scale."""
-    g = values[inc]                               # (Nc, M, ...)
-    m = mask.reshape(mask.shape + (1,) * (values.ndim - 1))
-    return jnp.sum(g * m, axis=1)
-
-
 def scatter_add_blocks(target, idx, blocks):
     """target (Nc,6,6) .at[idx].add(blocks (E,6,6)) via flat-36 payloads.
 
@@ -140,9 +131,9 @@ def scatter_add_blocks(target, idx, blocks):
 
 def assemble(problem: Problem, q, t, s) -> GNBlocks:
     """Direct normal-equation assembly: closed-form J'J blocks (no Jacobian
-    materialization — residuals.six_dof_block_products) and incidence-gather
-    reductions for the loop family (no scatters). Differentially tested
-    against assemble_ref."""
+    materialization — residuals.six_dof_block_products) and flat-payload
+    scatter-adds for the loop family. Differentially tested against
+    assemble_ref."""
     F, Nc, Ec = problem.fanout, problem.n_cap, problem.e_cap
     dt = problem.dtype
 
@@ -159,7 +150,7 @@ def assemble(problem: Problem, q, t, s) -> GNBlocks:
         D = D + shift_up(A22[f], f + 1)
         g_n = g_n + shift_up(gJ2[f], f + 1)
 
-    # ---------------- loop edges (gather-reduced) ----------------
+    # ---------------- loop edges (flat scatter-adds) ----------------
     qb, tb = q[problem.loop_b], t[problem.loop_b]
     qa, ta = q[problem.loop_a], t[problem.loop_a]
     (r_l, Abb, Aaa, Aba, cb, ca, ds, gb, ga, g_s
@@ -356,7 +347,7 @@ def assemble_t(problem: Problem, q, t, s, use_switch: bool = True
         g_n = g_n + shift_lanes_up(g2[:, f], f + 1)
     B_t = jnp.moveaxis(B, 1, 0)                    # (F, 36, Nc)
 
-    # ---------------- loop edges ----------------
+    # ---------------- loop edges (flat scatter-adds) ----------------
     qb, tb = q[problem.loop_b], t[problem.loop_b]
     qa, ta = q[problem.loop_a], t[problem.loop_a]
     if use_switch:
@@ -617,19 +608,25 @@ def _bmv_T(Bf, x):        # y_j = sum_i Bf[6i+j] * x[i]
     ])
 
 
-def loop_matvec_t(red: ReducedSystemT, problem: Problem, p_n):
-    """Loop-edge rows of the reduced matvec (gather + flat scatter)."""
+def loop_matvec_t(red: ReducedSystemT, problem: Problem, p_n, Aba_aos=None):
+    """Loop-edge rows of the reduced matvec.
+
+    Formulation matters 2.5x in-context: row-gather into (Ec,6) AoS, one
+    batched einsum per direction against the AoS loop blocks, flat scatter —
+    measured 0.41 ms/iteration inside the LM loop vs 1.05 ms for the
+    entry-major _bmv stacks. Pass Aba_aos = t_blocks_to_aos(red.Aba_h)
+    precomputed (loop-invariant) when calling from inside CG."""
     dt = p_n.dtype
     Nc = p_n.shape[-1]
-    # row-gather via one small transpose (lane-dim gathers measured ~10x
-    # slower than row gathers at this scale)
+    if Aba_aos is None:
+        Aba_aos = t_blocks_to_aos(red.Aba_h)        # (Ec,6,6)
     pT = p_n.T                         # (Nc, 6)
-    xb = pT[problem.loop_b].T          # (6, Ec)
-    xa = pT[problem.loop_a].T
-    vb = _bmv(red.Aba_h, xa)           # (6, Ec)
-    va = _bmv_T(red.Aba_h, xb)
-    yl = jnp.zeros((Nc, 6), dt).at[problem.loop_b].add(vb.T)
-    yl = yl.at[problem.loop_a].add(va.T)
+    xb = pT[problem.loop_b]            # (Ec, 6)
+    xa = pT[problem.loop_a]
+    vb = jnp.einsum("eij,ej->ei", Aba_aos, xa)
+    va = jnp.einsum("eij,ei->ej", Aba_aos, xb)
+    yl = jnp.zeros((Nc, 6), dt).at[problem.loop_b].add(vb)
+    yl = yl.at[problem.loop_a].add(va)
     return yl.T
 
 
@@ -644,22 +641,24 @@ def band_matvec_t(red: ReducedSystemT, problem: Problem, p_n):
 
 
 def reduced_matvec_t(red: ReducedSystemT, problem: Problem, p_n,
-                     impl: str = "xla", Bup=None):
+                     impl: str = "xla", Bup=None, Aba_aos=None):
     """y = H_red p, p (6, Nc) — the lane-parallel hot op of every CG iter.
 
     impl="pallas" runs the band part through the fused Pallas kernel
     (ops/pallas_band.py): measured ~0.1 ms/iteration faster INSIDE the LM
     loop, where XLA's in-context codegen is ~2.5x slower than isolated (the
     kernel's explicit layout is immune). Pass Bup = shift_band_up(red.Bh)
-    precomputed (loop-invariant) when calling from inside CG."""
+    and Aba_aos = t_blocks_to_aos(red.Aba_h) precomputed (loop-invariant)
+    when calling from inside CG."""
     if impl == "pallas":
         from solve_keyframe_pose_graph_tpu.ops import pallas_band
         if Bup is None:
             Bup = pallas_band.shift_band_up(red.Bh)
         y = pallas_band.band_matvec_pre(red.Dh, red.Bh, Bup, p_n,
                                         block_n=256)
-        return y + loop_matvec_t(red, problem, p_n)
-    return band_matvec_t(red, problem, p_n) + loop_matvec_t(red, problem, p_n)
+        return y + loop_matvec_t(red, problem, p_n, Aba_aos)
+    return (band_matvec_t(red, problem, p_n)
+            + loop_matvec_t(red, problem, p_n, Aba_aos))
 
 
 def recover_switches_t(red: ReducedSystemT, problem: Problem, x_n):

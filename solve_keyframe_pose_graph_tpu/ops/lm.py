@@ -193,8 +193,9 @@ def lm_solve(
             Bup = pallas_band.shift_band_up(red.Bh)   # hoisted out of CG
         else:
             Bup = None
-        mv_red = lambda p: gn_ops.reduced_matvec_t(red, problem, p,
-                                                   impl=matvec_impl, Bup=Bup)
+        Aba_aos = gn_ops.t_blocks_to_aos(red.Aba_h)   # hoisted out of CG
+        mv_red = lambda p: gn_ops.reduced_matvec_t(
+            red, problem, p, impl=matvec_impl, Bup=Bup, Aba_aos=Aba_aos)
         pc = pc_frozen if freeze_preconditioner else make_precond(red)
 
         sol = pcg_ops.pcg_nodes(

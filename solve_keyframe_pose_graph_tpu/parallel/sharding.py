@@ -59,8 +59,6 @@ def problem_shardings(mesh: Mesh, axis_name: str = "graph") -> Problem:
         loop_a=edge, loop_b=edge, loop_q=edge, loop_t=edge,
         loop_w=edge, loop_mask=edge, switch=edge,
         prior_idx=rep, prior_q=rep, prior_t=rep, prior_w=rep, prior_mask=rep,
-        # incidence tables shard with their node rows
-        inc_a=node, inc_a_m=node, inc_b=node, inc_b_m=node,
     )
 
 

@@ -16,7 +16,7 @@ Residual families and their layouts:
     per-edge residual blocks).
   * loop edges (Ec,): switchable-constraint residuals between arbitrary
     pairs (b, a) with observed b_T_a (PoseGraphSLAM.cpp:1381-1556). Sparse:
-    gathers + segment-sums.
+    gathers + flat-payload scatter-adds.
   * node priors (Pc,): soft anchors on set-root world starts
     (PoseGraphSLAM.cpp:1801-1879).
 
@@ -44,7 +44,6 @@ import numpy as np
         "loop_a", "loop_b", "loop_q", "loop_t", "loop_w", "loop_mask",
         "switch",
         "prior_idx", "prior_q", "prior_t", "prior_w", "prior_mask",
-        "inc_a", "inc_a_m", "inc_b", "inc_b_m",
     ],
     meta_fields=[],
 )
@@ -85,15 +84,6 @@ class Problem:
     prior_t: jax.Array
     prior_w: jax.Array
     prior_mask: jax.Array
-    # loop-edge incidence (node -> incident edge slots, padded): turns every
-    # edge->node scatter-add into gather + reduce — the TPU-friendly form
-    # (random scatter serializes; gathers stream).
-    # inc_b (Nc, Mb) i32 edge ids where this node is the edge's b endpoint;
-    # inc_b_m the {0,1} validity mask; inc_a/inc_a_m for the a endpoint.
-    inc_a: jax.Array
-    inc_a_m: jax.Array
-    inc_b: jax.Array
-    inc_b_m: jax.Array
 
     @property
     def n_cap(self) -> int:
@@ -116,36 +106,14 @@ class Problem:
         return self.q.dtype
 
 
-def build_incidence(idx: np.ndarray, n_cap: int, m_bucket: int = 8):
-    """(E,) node indices -> padded incidence (inc (n_cap, M) i32, mask).
-    M is the max degree rounded up to a multiple of m_bucket (bucketing keeps
-    recompiles rare as graphs grow)."""
-    counts = np.bincount(idx, minlength=n_cap) if idx.size else np.zeros(
-        n_cap, np.int64)
-    max_deg = int(counts.max()) if counts.size else 0
-    M = max(m_bucket, ((max_deg + m_bucket - 1) // m_bucket) * m_bucket)
-    inc = np.zeros((n_cap, M), np.int32)
-    msk = np.zeros((n_cap, M), np.float64)
-    fill = np.zeros(n_cap, np.int64)
-    for e, u in enumerate(idx):
-        inc[u, fill[u]] = e
-        msk[u, fill[u]] = 1.0
-        fill[u] += 1
-    return inc, msk
-
-
 def empty_problem(n_cap: int, e_cap: int, p_cap: int, fanout: int = 5,
-                  dtype=jnp.float32, m_inc: int = 8) -> Problem:
+                  dtype=jnp.float32) -> Problem:
     f = fanout
     zq = jnp.zeros((n_cap, 4), dtype).at[:, 3].set(1.0)
     ozq = jnp.zeros((f, n_cap, 4), dtype).at[..., 3].set(1.0)
     lq = jnp.zeros((e_cap, 4), dtype).at[:, 3].set(1.0)
     pq = jnp.zeros((p_cap, 4), dtype).at[:, 3].set(1.0)
     return Problem(
-        inc_a=jnp.zeros((n_cap, m_inc), jnp.int32),
-        inc_a_m=jnp.zeros((n_cap, m_inc), dtype),
-        inc_b=jnp.zeros((n_cap, m_inc), jnp.int32),
-        inc_b_m=jnp.zeros((n_cap, m_inc), dtype),
         q=zq,
         t=jnp.zeros((n_cap, 3), dtype),
         node_mask=jnp.zeros((n_cap,), dtype),
@@ -273,13 +241,6 @@ def build_problem_np(
         pw_[:p] = prior_w
         pm_[:p] = 1.0
 
-    # loop-edge incidence over the REAL edges only (pad slots carry zero
-    # blocks, so omitting them is exact and keeps degrees honest)
-    inc_a, inc_a_m = build_incidence(la[:e] if e else np.zeros(0, np.int64),
-                                     n_cap)
-    inc_b, inc_b_m = build_incidence(lb[:e] if e else np.zeros(0, np.int64),
-                                     n_cap)
-
     # assemble the full pytree in HOST numpy first, then transfer as TWO
     # packed flat buffers (floats + int32) unpacked device-side in one
     # jitted program: per-array transfers each pay a host<->device round
@@ -292,8 +253,6 @@ def build_problem_np(
         loop_q=lq, loop_t=lt, loop_w=lw, loop_mask=lm, switch=sw,
         prior_idx=pi.astype(np.int32), prior_q=pq_, prior_t=pt_,
         prior_w=pw_, prior_mask=pm_,
-        inc_a=inc_a, inc_a_m=inc_a_m.astype(dtype),
-        inc_b=inc_b, inc_b_m=inc_b_m.astype(dtype),
     )
     return transfer_problem(host)
 
