@@ -225,6 +225,19 @@ def cmd_replay(args):
     return 0
 
 
+def cmd_serve(args):
+    """Live ingest server on a Unix socket (the ROS-subscriber analog)."""
+    cfg = _config_from_args(args)
+    from solve_keyframe_pose_graph_tpu.graph.native import make_store
+    from solve_keyframe_pose_graph_tpu.runtime_server import PoseGraphServer
+
+    store = make_store(native=getattr(args, "native", False) or None)
+    server = PoseGraphServer(store, cfg, save_dir=args.save_dir or None,
+                             load_dir=args.load_dir or None)
+    server.serve(args.socket)
+    return 0
+
+
 def cmd_ablate(args):
     """Edge-ablation study: re-solve with each listed edge disabled and
     report the chi^2 delta (offline replacement for the reference's
@@ -292,6 +305,15 @@ def main(argv=None):
     p.add_argument("--native", action="store_true",
                    help="require the C++ store core (default: auto)")
     p.set_defaults(fn=cmd_replay)
+
+    p = sub.add_parser("serve", help="live ingest server (unix socket JSONL)")
+    p.add_argument("--socket", required=True, help="unix socket path")
+    p.add_argument("--config")
+    p.add_argument("--max-iters", type=int)
+    p.add_argument("--save-dir", default="")
+    p.add_argument("--load-dir", default="")
+    p.add_argument("--native", action="store_true")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("ablate", help="per-edge chi^2 ablation")
     p.add_argument("--input", required=True)

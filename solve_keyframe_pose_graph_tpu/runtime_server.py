@@ -1,0 +1,160 @@
+"""Live ingest server — the ROS-subscriber analog for online deployment.
+
+The reference is driven by ROS TCP pub/sub (keyframe_pose_graph_slam_node.cpp
+:288-347); here the wire is a Unix-domain (or TCP) socket carrying JSONL
+messages in the graph.messages schema. The server runs the full pipeline:
+
+  ingest thread(s): one per client connection, feeding the GraphStore
+  solver thread:    SolverEngine.run() trigger loop
+  status thread:    1 Hz StatusPrinter (the reference's queue printer)
+
+Query protocol (client sends a JSON line, server replies one JSON line):
+  {"kind": "query", "what": "status"}      -> pipeline status summary
+  {"kind": "query", "what": "trajectory"}  -> corrected trajectory (solved
+                                              prefix + extrapolated suffix)
+  {"kind": "query", "what": "pose", "t_ns": ...} -> low-latency pose at the
+                                              200 Hz-style compose path
+
+Shutdown: SIGINT/SIGTERM or {"kind": "shutdown"}; saves state when
+--save-dir was given (the reference's save-on-exit, :522-530).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import socketserver
+import threading
+from typing import Optional
+
+import numpy as np
+
+from solve_keyframe_pose_graph_tpu.compose.composer import Composer
+from solve_keyframe_pose_graph_tpu.config import Config
+from solve_keyframe_pose_graph_tpu.graph import messages as msgs
+from solve_keyframe_pose_graph_tpu.solver.engine import SolverEngine
+from solve_keyframe_pose_graph_tpu.utils.log import StatusPrinter, get_logger
+
+
+class PoseGraphServer:
+    def __init__(self, store, config: Optional[Config] = None,
+                 save_dir: Optional[str] = None,
+                 load_dir: Optional[str] = None):
+        self.store = store
+        self.config = config or Config()
+        self.engine = SolverEngine(store, self.config)
+        self.composer = Composer(store, self.engine)
+        self.save_dir = save_dir
+        self.logger = get_logger("kpg-serve")
+        self.status = StatusPrinter(store, self.engine, logger=self.logger)
+        self._stop = threading.Event()
+        self._ingest_lock = threading.Lock()
+        if load_dir:
+            ok = self.composer.load_state_from_disk(load_dir)
+            self.logger.info(f"load_state_from_disk({load_dir}) -> {ok}")
+
+    # ------------------------------------------------------------------
+
+    def handle_line(self, line: str) -> Optional[str]:
+        """Apply one JSONL message; returns a reply line for queries."""
+        obj = json.loads(line)
+        kind = obj.get("kind")
+        if kind == "query":
+            return json.dumps(self._query(obj))
+        if kind == "shutdown":
+            self._stop.set()
+            return json.dumps({"ok": True, "shutdown": True})
+        msg = msgs.message_from_json(obj)
+        with self._ingest_lock:   # serialize multi-client appends
+            msg.apply(self.store)
+        return None
+
+    def _query(self, obj) -> dict:
+        what = obj.get("what", "status")
+        if what == "status":
+            return {
+                "nodes": self.store.node_len,
+                "edges": self.store.edge_len,
+                "worlds": self.store.n_worlds(),
+                "kidnapped": self.store.current_kidnap_status,
+                "solved_until": self.engine.solved_until,
+                "solver_status": self.engine.status,
+                "triggers": self.engine.trigger_id,
+                "last_solve": (self.engine.solve_stats[-1]
+                               if self.engine.solve_stats else None),
+            }
+        if what == "trajectory":
+            comp = self.composer.assemble()
+            if comp is None:
+                return {"n": 0}
+            return {
+                "n": len(comp.t),
+                "t": np.asarray(comp.t).tolist(),
+                "q": np.asarray(comp.q).tolist(),
+                "world_of": np.asarray(comp.world_of).tolist(),
+            }
+        if what == "pose":
+            self.composer.assemble()
+            idx, q, t, stamp = self.composer.last_known_camerapose()
+            if idx < 0:
+                return {"ok": False}
+            return {"ok": True, "idx": int(idx), "stamp_ns": int(stamp),
+                    "q": list(map(float, q)), "t": list(map(float, t))}
+        return {"error": f"unknown query {what!r}"}
+
+    # ------------------------------------------------------------------
+
+    def serve(self, socket_path: str, poll_hz: Optional[float] = None):
+        """Blocking serve loop on a Unix domain socket."""
+        server_self = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                for raw in self.rfile:
+                    line = raw.decode().strip()
+                    if not line:
+                        continue
+                    try:
+                        reply = server_self.handle_line(line)
+                    except Exception as e:
+                        reply = json.dumps({"error": repr(e)})
+                    if reply is not None:
+                        self.wfile.write((reply + "\n").encode())
+                        self.wfile.flush()
+                    if server_self._stop.is_set():
+                        break
+
+        class Server(socketserver.ThreadingUnixStreamServer):
+            daemon_threads = True
+            allow_reuse_address = True
+
+        if os.path.exists(socket_path):
+            os.unlink(socket_path)
+
+        solver = threading.Thread(
+            target=self.engine.run,
+            kwargs=dict(poll_hz=poll_hz,
+                        stop_when=self._stop.is_set),
+            daemon=True,
+        )
+        solver.start()
+
+        def status_loop():
+            while not self._stop.wait(1.0):
+                self.status.tick(force=True)
+        threading.Thread(target=status_loop, daemon=True).start()
+
+        with Server(socket_path, Handler) as srv:
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+            self.logger.info(f"listening on {socket_path}")
+            try:
+                self._stop.wait()
+            except KeyboardInterrupt:
+                self._stop.set()
+            srv.shutdown()
+        solver.join(timeout=30)
+        self.engine.trigger()     # final drain
+        if self.save_dir:
+            path = self.composer.save_state_to_disk(self.save_dir)
+            self.logger.info(f"state -> {path}")

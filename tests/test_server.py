@@ -1,0 +1,86 @@
+"""Live ingest server: socket JSONL in, solves + queries out."""
+
+import json
+import socket
+import threading
+import time
+
+import numpy as np
+
+from solve_keyframe_pose_graph_tpu.graph import messages as msgs
+from solve_keyframe_pose_graph_tpu.graph import synthetic
+from solve_keyframe_pose_graph_tpu.graph.store import GraphStore
+from solve_keyframe_pose_graph_tpu.runtime_server import PoseGraphServer
+
+
+def test_server_end_to_end(tmp_path):
+    store = GraphStore()
+    save_dir = str(tmp_path / "ckpt")
+    server = PoseGraphServer(store, save_dir=save_dir)
+    sock_path = str(tmp_path / "kpg.sock")
+
+    th = threading.Thread(target=server.serve,
+                          kwargs=dict(socket_path=sock_path, poll_hz=50.0),
+                          daemon=True)
+    th.start()
+    for _ in range(100):
+        time.sleep(0.05)
+        try:
+            probe = socket.socket(socket.AF_UNIX)
+            probe.connect(sock_path)
+            probe.close()
+            break
+        except OSError:
+            continue
+
+    g = synthetic.circle_graph(n_nodes=150, n_loops=20, seed=2)
+    t0 = 1_000_000_000
+    dtn = 100_000_000
+
+    client = socket.socket(socket.AF_UNIX)
+    client.connect(sock_path)
+    f = client.makefile("rw")
+
+    for i in range(g.n_nodes):
+        f.write(json.dumps(
+            msgs.NodePoseMsg(t0 + i * dtn, g.vio_q[i], g.vio_t[i]).to_json())
+            + "\n")
+    for e in range(g.n_loops):
+        a, b = map(int, g.loop_pairs[e])
+        f.write(json.dumps(msgs.LoopEdgeMsg(
+            t0 + a * dtn, t0 + b * dtn, g.loop_q[e], g.loop_t[e],
+            float(g.loop_w[e])).to_json()) + "\n")
+    f.flush()
+
+    # wait until the solver catches up
+    deadline = time.time() + 240
+    solved = -1
+    while time.time() < deadline:
+        f.write(json.dumps({"kind": "query", "what": "status"}) + "\n")
+        f.flush()
+        st = json.loads(f.readline())
+        solved = st["solved_until"]
+        if st["nodes"] == g.n_nodes and solved == g.n_nodes - 1:
+            break
+        time.sleep(0.25)
+    assert solved == g.n_nodes - 1, solved
+
+    f.write(json.dumps({"kind": "query", "what": "trajectory"}) + "\n")
+    f.flush()
+    traj = json.loads(f.readline())
+    assert traj["n"] == g.n_nodes
+    assert len(traj["t"]) == g.n_nodes
+
+    f.write(json.dumps({"kind": "query", "what": "pose"}) + "\n")
+    f.flush()
+    pose = json.loads(f.readline())
+    assert pose["ok"] and len(pose["t"]) == 3
+
+    f.write(json.dumps({"kind": "shutdown"}) + "\n")
+    f.flush()
+    reply = json.loads(f.readline())
+    assert reply.get("shutdown")
+    client.close()
+    th.join(timeout=120)
+    assert not th.is_alive()
+    assert (tmp_path / "ckpt" / "solved_posegraph.json").exists()
