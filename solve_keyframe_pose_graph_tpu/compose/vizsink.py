@@ -22,6 +22,37 @@ import numpy as np
 from solve_keyframe_pose_graph_tpu.utils import colors
 
 
+def render_worlds_status_image(worlds, cell: int = 48) -> np.ndarray:
+    """Disjoint-set status as an image (Worlds::disjoint_set_status_image
+    analog, Worlds.cpp:365-407): one disc per world, filled with the SET's
+    deterministic color (worlds merged into one set share a color), ringed
+    with the world's own color. Pure numpy, (cell, n_worlds*cell, 3) uint8."""
+    n = max(worlds.n_worlds(), 1)
+    h, w = cell, cell * n
+    img = np.full((h, w, 3), 255, np.uint8)
+    yy, xx = np.mgrid[0:cell, 0:cell]
+    cc = (cell - 1) / 2.0
+    r2 = (yy - cc) ** 2 + (xx - cc) ** 2
+    disc = r2 <= (0.38 * cell) ** 2
+    ring = (r2 <= (0.46 * cell) ** 2) & ~disc
+    for i in range(worlds.n_worlds()):
+        sid = worlds.find_setID_of_world_i(i)
+        fill = np.array(colors.world_color(sid if sid >= 0 else i)) * 255
+        edge = np.array(colors.world_color(i)) * 255
+        tile = img[:, i * cell:(i + 1) * cell]
+        tile[disc] = fill.astype(np.uint8)
+        tile[ring] = edge.astype(np.uint8)
+    return img
+
+
+def write_ppm(path: str, img: np.ndarray) -> None:
+    """Minimal binary PPM writer (no image libraries in the environment)."""
+    h, w, _ = img.shape
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(np.ascontiguousarray(img, np.uint8).tobytes())
+
+
 class TrajectoryWriter:
     def __init__(self, out_dir: str, color_by_set: bool = False):
         self.out_dir = out_dir
@@ -60,8 +91,15 @@ class TrajectoryWriter:
                 "color": colors.false_color(sw[k]),
             })
 
+        # raw (uncorrected) VIO odometry polyline — the reference's
+        # periodic_publish_odoms thread (keyframe_pose_graph_slam_node.cpp:
+        # 77-198) publishes this alongside the corrected trajectory
+        _, _, vio_t = store.node_arrays()
+        raw_strip = np.asarray(vio_t).tolist()
+
         obj = {
             "strips": strips,
+            "raw_odometry": raw_strip,
             "loop_edges": edges,
             "disjoint_set_status": worlds.disjoint_set_status(),
             "worlds_status": worlds.status_json(),
@@ -70,6 +108,9 @@ class TrajectoryWriter:
         path = os.path.join(self.out_dir, f"viz_{tag}.json")
         with open(path, "w") as f:
             json.dump(obj, f, indent=2)
+
+        write_ppm(os.path.join(self.out_dir, f"worlds_status_{tag}.ppm"),
+                  render_worlds_status_image(worlds))
 
         if comp is not None:
             np.savez(

@@ -79,3 +79,29 @@ def test_logger_and_status(capsys):
     line = sp.line()
     assert "nodes=1" in line and "solver=solving" in line
     sp.tick(force=True)
+
+
+def test_worlds_status_image(tmp_path):
+    from solve_keyframe_pose_graph_tpu.compose.vizsink import (
+        render_worlds_status_image, write_ppm,
+    )
+    from solve_keyframe_pose_graph_tpu.graph.worlds import WorldRegistry
+
+    w = WorldRegistry()
+    w.world_starts(10**9)
+    w.world_ends(2 * 10**9)
+    w.world_starts(3 * 10**9)
+    w.world_ends(4 * 10**9)
+    w.world_starts(5 * 10**9)
+    w.set_pose_between_worlds(1, 0, np.array([0, 0, 0, 1.0]), np.zeros(3), "")
+    img = render_worlds_status_image(w)
+    assert img.shape == (48, 48 * 3, 3) and img.dtype == np.uint8
+    # worlds 0 and 1 merged -> same fill color; world 2 differs
+    c0 = img[24, 24]; c1 = img[24, 48 + 24]; c2 = img[24, 96 + 24]
+    assert (c0 == c1).all()
+    assert not (c0 == c2).all()
+    p = str(tmp_path / "s.ppm")
+    write_ppm(p, img)
+    raw = open(p, "rb").read()
+    assert raw.startswith(b"P6\n144 48\n255\n")
+    assert len(raw) == len(b"P6\n144 48\n255\n") + 144 * 48 * 3
