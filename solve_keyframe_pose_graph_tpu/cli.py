@@ -13,8 +13,11 @@ TPU-native equivalent is an offline/replay-first CLI:
                                                   pipeline (kidnaps included)
   kpg-solve ablate  --input g.json [--edges 1,2]  per-edge chi^2 ablation
                     (debug_kf_slam_node capability, src/debug_kf_slam_node.cpp)
+  kpg-solve serve   --socket path [--warmup-nodes N] live ingest server:
+                    JSONL messages over a Unix socket through the full
+                    pipeline (the ROS-subscriber analog; runtime_server.py)
 
-All subcommands accept --viz-dir to dump TrajectoryWriter primitives.
+Offline subcommands accept --viz-dir to dump TrajectoryWriter primitives.
 """
 
 from __future__ import annotations
@@ -234,6 +237,10 @@ def cmd_serve(args):
     store = make_store(native=getattr(args, "native", False) or None)
     server = PoseGraphServer(store, cfg, save_dir=args.save_dir or None,
                              load_dir=args.load_dir or None)
+    if args.warmup_nodes:
+        n = server.engine.warmup(args.warmup_nodes,
+                                 args.warmup_edges or args.warmup_nodes)
+        server.logger.info(f"warmed up {n} capacity-bucket programs")
     server.serve(args.socket)
     return 0
 
@@ -313,6 +320,9 @@ def main(argv=None):
     p.add_argument("--save-dir", default="")
     p.add_argument("--load-dir", default="")
     p.add_argument("--native", action="store_true")
+    p.add_argument("--warmup-nodes", type=int, default=0,
+                   help="pre-compile solve programs up to this many nodes")
+    p.add_argument("--warmup-edges", type=int, default=0)
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("ablate", help="per-edge chi^2 ablation")

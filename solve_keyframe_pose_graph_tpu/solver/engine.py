@@ -414,6 +414,56 @@ class SolverEngine:
         self.solved_until = n - 1
         self.prev_node_len = n
 
+    def warmup(self, max_nodes: int, max_edges: int) -> int:
+        """Pre-compile the device solve for every capacity bucket up to the
+        given sizes. Streaming runs otherwise pay a 1-3 s compile stall the
+        first time a bucket doubles (measured p90 of trigger wall); a
+        production deployment calls this once at startup. Returns the number
+        of bucket programs compiled."""
+        from solve_keyframe_pose_graph_tpu.graph import synthetic
+        from solve_keyframe_pose_graph_tpu.ops.lm import solve_problem
+        from solve_keyframe_pose_graph_tpu.solver.problem import (
+            build_problem_np,
+        )
+
+        cfg = self.config
+        cap = cfg.capacity
+        dtype = np.float64 if cfg.solver.dtype == "float64" else np.float32
+        count = 0
+        n_cap = cap.initial_nodes
+        while True:
+            e_caps = []
+            e_cap = cap.initial_edges
+            while e_cap <= max(_bucket(max_edges, cap.initial_edges),
+                               cap.initial_edges):
+                e_caps.append(e_cap)
+                e_cap *= 2
+            g = synthetic.circle_graph(
+                n_nodes=min(64, n_cap), n_loops=8, seed=0)
+            for e_cap in e_caps:
+                problem = build_problem_np(
+                    q=g.vio_q, t=g.vio_t, vio_q=g.vio_q, vio_t=g.vio_t,
+                    node_valid=np.ones(g.n_nodes, bool),
+                    loop_pairs=g.loop_pairs, loop_q=g.loop_q,
+                    loop_t=g.loop_t, loop_w=g.loop_w,
+                    loop_valid=np.ones(g.n_loops, bool),
+                    switch=np.full(g.n_loops, cfg.residual.switch_init),
+                    prior_idx=np.array([0]), prior_q=g.vio_q[:1],
+                    prior_t=g.vio_t[:1], prior_w=np.array([1.1]),
+                    n_cap=n_cap, e_cap=e_cap, p_cap=16,
+                    fanout=cfg.residual.odometry_fanout,
+                    dtype=dtype,
+                )
+                res = solve_problem(
+                    problem, cfg.solver, residual_mode=cfg.residual.mode,
+                    use_switch=cfg.residual.use_switch_constraints)
+                jax.block_until_ready(res.final_cost)
+                count += 1
+            if n_cap >= _bucket(max_nodes, cap.initial_nodes):
+                break
+            n_cap *= 2
+        return count
+
     def run(self, poll_hz: Optional[float] = None, stop_when=None) -> None:
         """Blocking trigger loop (the reference thread's ros::Rate loop)."""
         hz = poll_hz or self.config.stream.trigger_poll_hz

@@ -143,3 +143,14 @@ def test_multiworld_kidnap_merge():
     # world-0 nodes stayed put
     q0, t0 = eng.get_node_pose(5)
     np.testing.assert_allclose(t0, [5.0, 0, 0], atol=0.05)
+
+
+def test_engine_warmup_compiles_buckets():
+    from solve_keyframe_pose_graph_tpu.graph.store import GraphStore
+    from solve_keyframe_pose_graph_tpu.solver.engine import SolverEngine
+
+    eng = SolverEngine(GraphStore())
+    cap = eng.config.capacity
+    # up to 2x the initial buckets -> 2 node buckets x 2 edge buckets
+    n = eng.warmup(cap.initial_nodes * 2, cap.initial_edges * 2)
+    assert n == 4
