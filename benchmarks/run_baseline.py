@@ -185,12 +185,55 @@ def bench_streaming(results):
     print("streaming_2k_400", json.dumps(results["streaming_2k_400"]))
 
 
+def bench_multiworld(results):
+    """Config 3: kidnap recovery — scripted kidnaps through the engine,
+    inter-world first-contact merging, measured per-trigger wall."""
+    from solve_keyframe_pose_graph_tpu.graph import synthetic
+    from solve_keyframe_pose_graph_tpu.graph.store import GraphStore
+    from solve_keyframe_pose_graph_tpu.solver.engine import SolverEngine
+
+    g = synthetic.circle_graph(n_nodes=1500, n_loops=300, seed=4)
+    store = GraphStore()
+    eng = SolverEngine(store)
+    t0 = 1_000_000_000
+    dtn = 100_000_000
+    edge_by_later = {}
+    for k in range(g.n_loops):
+        a, b = map(int, g.loop_pairs[k])
+        edge_by_later.setdefault(max(a, b), []).append(k)
+    kidnaps = {500: True, 520: False, 1000: True, 1030: False}
+    walls = []
+    for i in range(g.n_nodes):
+        if i in kidnaps:
+            store.kidnap_indicator(
+                t0 + i * dtn - dtn // 2,
+                "kidnapped" if kidnaps[i] else "unkidnapped")
+        store.add_node(t0 + i * dtn, g.vio_q[i], g.vio_t[i])
+        for k in edge_by_later.get(i, []):
+            a, b = map(int, g.loop_pairs[k])
+            store.add_loop_edge(t0 + a * dtn, t0 + b * dtn,
+                                g.loop_q[k], g.loop_t[k], float(g.loop_w[k]))
+        if i % 50 == 0 and eng.trigger():
+            walls.append(eng.solve_stats[-1]["trigger_wall_ms"])
+    eng.trigger()
+    results.setdefault("multiworld_1500", {}).update({
+        "nodes": g.n_nodes, "loops": g.n_loops,
+        "worlds": store.n_worlds(),
+        "sets": store.worlds.n_sets(),
+        "final_chi2": eng.solve_stats[-1]["final_cost"],
+        "trigger_ms_median": round(float(np.median(walls)), 1),
+        "steady_state_ms_median": round(
+            float(np.median(walls[len(walls) // 2:])), 1),
+    })
+    print("multiworld_1500", json.dumps(results["multiworld_1500"]))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
                     help="also run CPU fp64 direct references (slow)")
     ap.add_argument("--only", default="",
-                    help="comma list: circle,g2o,streaming")
+                    help="comma list: circle,g2o,streaming,multiworld")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else set()
 
@@ -204,6 +247,8 @@ def main():
             bench_g2o_configs(results, args.cpu)
         if not only or "streaming" in only:
             bench_streaming(results)
+        if not only or "multiworld" in only:
+            bench_multiworld(results)
     finally:
         with open(RESULTS, "w") as f:
             json.dump(results, f, indent=2)

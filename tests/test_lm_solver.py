@@ -125,3 +125,18 @@ def test_assemble_direct_matches_ref():
         np.testing.assert_allclose(
             np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
             atol=1e-10, err_msg=name)
+
+
+def test_block_gj_inv_matches_numpy(rng):
+    import jax.numpy as jnp
+
+    from solve_keyframe_pose_graph_tpu.ops.smallinv import (
+        block_gj_inv, gauss_jordan_inv,
+    )
+
+    G = rng.normal(size=(8, 30, 30))
+    A = jnp.asarray(np.einsum("mij,mkj->mik", G, G) + 10.0 * np.eye(30))
+    X0 = np.linalg.inv(np.asarray(A))
+    np.testing.assert_allclose(np.asarray(block_gj_inv(A)), X0, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(gauss_jordan_inv(A, unroll=True)), X0, atol=1e-10)
