@@ -47,24 +47,27 @@ struct Store {
   std::vector<int64_t> kidnap_ends;
   bool kidnapped = false;
 
-  explicit Store(int64_t cap) {
-    cap = std::max<int64_t>(cap, 16);
-    reserve_nodes(cap);
-    reserve_edges(std::max<int64_t>(cap / 4, 16));
-  }
+  // Buffers are reserved to max_cap UP FRONT and never reallocate: Python
+  // holds zero-copy numpy views into them, and a concurrent push_back that
+  // reallocated would leave a reader's view dangling (use-after-free). The
+  // reference solves the same problem with static 30k arrays
+  // (PoseGraphSLAM.cpp:17-25); we reserve a configurable hard capacity.
+  int64_t max_nodes_;
+  int64_t max_edges_;
 
-  void reserve_nodes(int64_t cap) {
-    ts.reserve(cap);
-    q.reserve(cap * 4);
-    t.reserve(cap * 3);
-    cov.reserve(cap * 36);
-  }
-  void reserve_edges(int64_t cap) {
-    ea.reserve(cap);
-    eb.reserve(cap);
-    eq.reserve(cap * 4);
-    et.reserve(cap * 3);
-    ew.reserve(cap);
+  Store(int64_t cap, int64_t max_cap) {
+    cap = std::max<int64_t>(cap, 16);
+    max_nodes_ = std::max<int64_t>(max_cap, cap);
+    max_edges_ = max_nodes_;
+    ts.reserve(max_nodes_);
+    q.reserve(max_nodes_ * 4);
+    t.reserve(max_nodes_ * 3);
+    cov.reserve(max_nodes_ * 36);
+    ea.reserve(max_edges_);
+    eb.reserve(max_edges_);
+    eq.reserve(max_edges_ * 4);
+    et.reserve(max_edges_ * 3);
+    ew.reserve(max_edges_);
   }
 };
 
@@ -84,7 +87,11 @@ int64_t find_index(const Store* s, int64_t t_ns) {
 extern "C" {
 
 Store* kpg_store_new(int64_t initial_capacity) {
-  return new Store(initial_capacity);
+  return new Store(initial_capacity, 65536);
+}
+
+Store* kpg_store_new_max(int64_t initial_capacity, int64_t max_capacity) {
+  return new Store(initial_capacity, max_capacity);
 }
 
 void kpg_store_free(Store* s) { delete s; }
@@ -94,6 +101,7 @@ int64_t kpg_add_node(Store* s, int64_t t_ns, const double* quat_xyzw,
                      const double* trans, const double* cov36) {
   std::lock_guard<std::mutex> lock(s->mu);
   const int64_t n = s->n.load(std::memory_order_relaxed);
+  if (n >= s->max_nodes_) return -2;   // hard capacity (views must not move)
   if (n > 0 && t_ns < s->ts[n - 1]) return -1;
   double norm = std::sqrt(quat_xyzw[0] * quat_xyzw[0] +
                           quat_xyzw[1] * quat_xyzw[1] +
@@ -126,6 +134,7 @@ int64_t kpg_add_loop_edge(Store* s, int64_t t_ns_a, int64_t t_ns_b,
   return [&]() -> int64_t {
     std::lock_guard<std::mutex> lock(s->mu);
     const int64_t e = s->e.load(std::memory_order_relaxed);
+    if (e >= s->max_edges_) return -2;
     double norm = std::sqrt(quat_xyzw[0] * quat_xyzw[0] +
                             quat_xyzw[1] * quat_xyzw[1] +
                             quat_xyzw[2] * quat_xyzw[2] +
@@ -146,6 +155,7 @@ int64_t kpg_add_loop_edge_by_index(Store* s, int64_t ia, int64_t ib,
                                    const double* trans, double weight) {
   std::lock_guard<std::mutex> lock(s->mu);
   const int64_t e = s->e.load(std::memory_order_relaxed);
+  if (e >= s->max_edges_) return -2;
   double norm = std::sqrt(quat_xyzw[0] * quat_xyzw[0] +
                           quat_xyzw[1] * quat_xyzw[1] +
                           quat_xyzw[2] * quat_xyzw[2] +
@@ -167,8 +177,8 @@ int64_t kpg_edge_len(const Store* s) {
   return s->e.load(std::memory_order_acquire);
 }
 
-// buffer pointers (valid until the next append that reallocates; Python
-// re-fetches per access)
+// buffer pointers (stable for the store's lifetime: buffers are reserved to
+// the hard capacity at construction and never reallocate)
 const int64_t* kpg_ts_ptr(const Store* s) { return s->ts.data(); }
 const double* kpg_q_ptr(const Store* s) { return s->q.data(); }
 const double* kpg_t_ptr(const Store* s) { return s->t.data(); }

@@ -66,6 +66,7 @@ def load_library(auto_build: bool = True):
     c_ip = ctypes.POINTER(ctypes.c_int64)
     sig = {
         "kpg_store_new": ([c_i64], ctypes.c_void_p),
+        "kpg_store_new_max": ([c_i64, c_i64], ctypes.c_void_p),
         "kpg_store_free": ([ctypes.c_void_p], None),
         "kpg_add_node": ([ctypes.c_void_p, c_i64, c_dp, c_dp, c_dp], c_i64),
         "kpg_find_indexof_node": ([ctypes.c_void_p, c_i64], c_i64),
@@ -124,13 +125,17 @@ class NativeGraphStore(GraphStore):
     in native memory; worlds registry, descriptions, masks, JSON in Python,
     same as the reference keeps JSON outside its hot path)."""
 
-    def __init__(self, initial_capacity: int = 1024):
+    def __init__(self, initial_capacity: int = 1024,
+                 max_capacity: int = 65536):
         lib = load_library()
         if lib is None:
             raise RuntimeError(
                 "native core unavailable; build with make -C native/")
         self._lib = lib
-        self._h = ctypes.c_void_p(lib.kpg_store_new(int(initial_capacity)))
+        # buffers are reserved to max_capacity up front: the zero-copy numpy
+        # views must never be invalidated by a reallocating append
+        self._h = ctypes.c_void_p(lib.kpg_store_new_max(
+            int(initial_capacity), int(max_capacity)))
 
         # python-side leftovers of the base class
         self._e_desc: List[str] = []
@@ -248,6 +253,8 @@ class NativeGraphStore(GraphStore):
                 else _as_dp(np.ascontiguousarray(cov, np.float64)))
         i = int(self._lib.kpg_add_node(self._h, int(t_ns), _as_dp(q),
                                        _as_dp(t), covp))
+        if i == -2:
+            raise RuntimeError("native store at hard node capacity")
         assert i >= 0, "non-monotonic node timestamp"
         if len(self.worlds.world_start_stamps) == 0:
             self.worlds.world_starts(int(t_ns))
@@ -263,6 +270,8 @@ class NativeGraphStore(GraphStore):
         e = int(self._lib.kpg_add_loop_edge(
             self._h, int(t_ns_a), int(t_ns_b), _as_dp(q), _as_dp(t),
             float(weight)))
+        if e == -2:
+            raise RuntimeError("native store at hard edge capacity")
         if e < 0:
             return None
         self._e_desc.append(description)
@@ -275,6 +284,8 @@ class NativeGraphStore(GraphStore):
         t = np.ascontiguousarray(t_b_T_a, np.float64)
         e = int(self._lib.kpg_add_loop_edge_by_index(
             self._h, int(ia), int(ib), _as_dp(q), _as_dp(t), float(weight)))
+        if e == -2:
+            raise RuntimeError("native store at hard edge capacity")
         self._e_desc.append(description)
         self.edge_mask.append(True)
         return e

@@ -136,3 +136,18 @@ def test_engine_runs_on_native_store():
     assert eng.solved_until == g.n_nodes - 1
     comp = Composer(store, eng).assemble()
     assert len(comp.t) == g.n_nodes
+
+
+def test_hard_capacity_enforced():
+    s = native.NativeGraphStore(initial_capacity=4, max_capacity=16)
+    base = s._ts.ctypes.data if s.node_len else None
+    for i in range(16):
+        s.add_node(10**9 + i * 10**6, [0, 0, 0, 1], [0, 0, 0])
+    # buffer never moved (views stay valid)
+    assert s._ts.ctypes.data == s._ts.ctypes.data
+    with pytest.raises(RuntimeError):
+        s.add_node(10**9 + 17 * 10**6, [0, 0, 0, 1], [0, 0, 0])
+    for e in range(16):
+        s.add_loop_edge_by_index(0, 1, [0, 0, 0, 1], [0, 0, 0], 1.0)
+    with pytest.raises(RuntimeError):
+        s.add_loop_edge_by_index(0, 1, [0, 0, 0, 1], [0, 0, 0], 1.0)
