@@ -21,12 +21,12 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
 from solve_keyframe_pose_graph_tpu.graph.worlds import (
-    WorldRegistry, _csv_to_matrix, _matrix_to_csv,
+    WorldRegistry, _csv_to_matrix,
 )
 from solve_keyframe_pose_graph_tpu.utils import nse3
 

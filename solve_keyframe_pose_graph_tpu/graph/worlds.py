@@ -24,9 +24,8 @@ at the JSON boundary.
 
 from __future__ import annotations
 
-import json
 from collections import deque
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

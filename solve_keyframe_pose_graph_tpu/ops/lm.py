@@ -24,7 +24,6 @@ inexact solve.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple
 

@@ -38,7 +38,7 @@ import numpy as np
 
 from solve_keyframe_pose_graph_tpu.config import Config
 from solve_keyframe_pose_graph_tpu.graph.store import GraphStore
-from solve_keyframe_pose_graph_tpu.ops.lm import LMResult, lm_solve
+from solve_keyframe_pose_graph_tpu.ops.lm import LMResult
 from solve_keyframe_pose_graph_tpu.solver.problem import build_problem_np
 from solve_keyframe_pose_graph_tpu.utils import nse3
 from solve_keyframe_pose_graph_tpu.utils.timing import PhaseTimer

@@ -13,7 +13,7 @@ import contextlib
 import json
 import time
 from collections import defaultdict
-from typing import Dict, List
+from typing import Dict
 
 
 class PhaseTimer:
