@@ -42,10 +42,19 @@ struct Store {
   std::vector<double> ew;  // (e,)
   std::atomic<int64_t> e{0};
 
-  // kidnap intervals (ns)
+  // kidnap intervals (ns). Like the node/edge buffers these are reserved to
+  // a hard capacity up front and NEVER reallocate: kpg_which_world /
+  // kpg_node_worlds and the Python getters read them lock-free while the
+  // ingest thread appends under the mutex, so a reallocating push_back would
+  // leave readers walking freed memory. Element counts are published with
+  // release stores (read with acquire) after the element is fully written —
+  // the same single-writer protocol as the node/edge buffers.
   std::vector<int64_t> kidnap_starts;
   std::vector<int64_t> kidnap_ends;
-  bool kidnapped = false;
+  std::atomic<int64_t> nks{0};
+  std::atomic<int64_t> nke{0};
+  std::atomic<bool> kidnapped{false};
+  static constexpr int64_t kMaxKidnaps = 65536;
 
   // Buffers are reserved to max_cap UP FRONT and never reallocate: Python
   // holds zero-copy numpy views into them, and a concurrent push_back that
@@ -68,6 +77,8 @@ struct Store {
     eq.reserve(max_edges_ * 4);
     et.reserve(max_edges_ * 3);
     ew.reserve(max_edges_);
+    kidnap_starts.reserve(kMaxKidnaps);
+    kidnap_ends.reserve(kMaxKidnaps);
   }
 };
 
@@ -150,10 +161,14 @@ int64_t kpg_add_loop_edge(Store* s, int64_t t_ns_a, int64_t t_ns_b,
   }();
 }
 
+// returns edge index; -1 if either node index is out of range, -2 at the
+// hard edge capacity
 int64_t kpg_add_loop_edge_by_index(Store* s, int64_t ia, int64_t ib,
                                    const double* quat_xyzw,
                                    const double* trans, double weight) {
   std::lock_guard<std::mutex> lock(s->mu);
+  const int64_t n = s->n.load(std::memory_order_relaxed);
+  if (ia < 0 || ia >= n || ib < 0 || ib >= n) return -1;
   const int64_t e = s->e.load(std::memory_order_relaxed);
   if (e >= s->max_edges_) return -2;
   double norm = std::sqrt(quat_xyzw[0] * quat_xyzw[0] +
@@ -193,29 +208,37 @@ const double* kpg_ew_ptr(const Store* s) { return s->ew.data(); }
 // kidnap state machine (NodeDataManager.cpp:763-852)
 // ---------------------------------------------------------------------------
 
-// returns 0 on success, -1 on state-machine violation
+// returns 0 on success, -1 on state-machine violation, -2 at hard capacity
 int kpg_mark_kidnapped(Store* s, int64_t t_ns) {
   std::lock_guard<std::mutex> lock(s->mu);
-  if (s->kidnapped) return -1;
-  s->kidnapped = true;
+  if (s->kidnapped.load(std::memory_order_relaxed)) return -1;
+  const int64_t n = s->nks.load(std::memory_order_relaxed);
+  if (n >= Store::kMaxKidnaps) return -2;
+  s->kidnapped.store(true, std::memory_order_relaxed);
   s->kidnap_starts.push_back(t_ns);
+  s->nks.store(n + 1, std::memory_order_release);
   return 0;
 }
 
 int kpg_mark_unkidnapped(Store* s, int64_t t_ns) {
   std::lock_guard<std::mutex> lock(s->mu);
-  if (!s->kidnapped) return -1;
-  s->kidnapped = false;
+  if (!s->kidnapped.load(std::memory_order_relaxed)) return -1;
+  const int64_t n = s->nke.load(std::memory_order_relaxed);
+  if (n >= Store::kMaxKidnaps) return -2;
+  s->kidnapped.store(false, std::memory_order_relaxed);
   s->kidnap_ends.push_back(t_ns);
+  s->nke.store(n + 1, std::memory_order_release);
   return 0;
 }
 
-int kpg_is_kidnapped(const Store* s) { return s->kidnapped ? 1 : 0; }
+int kpg_is_kidnapped(const Store* s) {
+  return s->kidnapped.load(std::memory_order_acquire) ? 1 : 0;
+}
 int64_t kpg_n_kidnap_starts(const Store* s) {
-  return (int64_t)s->kidnap_starts.size();
+  return s->nks.load(std::memory_order_acquire);
 }
 int64_t kpg_n_kidnap_ends(const Store* s) {
-  return (int64_t)s->kidnap_ends.size();
+  return s->nke.load(std::memory_order_acquire);
 }
 const int64_t* kpg_kidnap_starts_ptr(const Store* s) {
   return s->kidnap_starts.data();
@@ -223,13 +246,22 @@ const int64_t* kpg_kidnap_starts_ptr(const Store* s) {
 const int64_t* kpg_kidnap_ends_ptr(const Store* s) {
   return s->kidnap_ends.data();
 }
-// restore from checkpoint
+// restore from checkpoint. Counts are dropped to zero (release) before the
+// buffers are rewritten and re-published after, so a concurrent lock-free
+// reader never sees an index beyond fully-written data. (assign() within the
+// reserved capacity never reallocates, so data() stays stable.)
 void kpg_set_kidnap_data(Store* s, const int64_t* starts, int64_t n_starts,
                          const int64_t* ends, int64_t n_ends, int kidnapped) {
   std::lock_guard<std::mutex> lock(s->mu);
+  n_starts = std::min<int64_t>(n_starts, Store::kMaxKidnaps);
+  n_ends = std::min<int64_t>(n_ends, Store::kMaxKidnaps);
+  s->nks.store(0, std::memory_order_release);
+  s->nke.store(0, std::memory_order_release);
   s->kidnap_starts.assign(starts, starts + n_starts);
   s->kidnap_ends.assign(ends, ends + n_ends);
-  s->kidnapped = kidnapped != 0;
+  s->kidnapped.store(kidnapped != 0, std::memory_order_relaxed);
+  s->nks.store(n_starts, std::memory_order_release);
+  s->nke.store(n_ends, std::memory_order_release);
 }
 
 // ---------------------------------------------------------------------------
@@ -237,11 +269,9 @@ void kpg_set_kidnap_data(Store* s, const int64_t* starts, int64_t n_starts,
 // NodeDataManager.cpp:1127-1198 (negative ids = kidnap dead zones)
 // ---------------------------------------------------------------------------
 
-int kpg_which_world(const Store* s, int64_t t) {
-  const auto& ks = s->kidnap_starts;
-  const auto& ke = s->kidnap_ends;
-  const int64_t nks = (int64_t)ks.size();
-  const int64_t nke = (int64_t)ke.size();
+namespace {
+int which_world_impl(const int64_t* ks, const int64_t* ke, int64_t nks,
+                     int64_t nke, int64_t t) {
   if (nks == 0) return 0;
   if (nks == 1) {
     if (t < ks[0]) return 0;
@@ -267,11 +297,28 @@ int kpg_which_world(const Store* s, int64_t t) {
   if (ke[i - 1] < t && t <= ks[i]) return (int)i;
   return -(int)(i + 1);
 }
+}  // namespace
 
-// bulk: world id for every node (the per-trigger O(N) hot path)
+int kpg_which_world(const Store* s, int64_t t) {
+  // lock-free: element counts come from the release/acquire-published
+  // atomics, never from vector::size() (which could race with a writer's
+  // push_back bookkeeping)
+  return which_world_impl(s->kidnap_starts.data(), s->kidnap_ends.data(),
+                          s->nks.load(std::memory_order_acquire),
+                          s->nke.load(std::memory_order_acquire), t);
+}
+
+// bulk: world id for every node (the per-trigger O(N) hot path); snapshots
+// the kidnap counts once so every node is classified against one consistent
+// timeline
 void kpg_node_worlds(const Store* s, int64_t* out) {
   const int64_t n = s->n.load(std::memory_order_acquire);
-  for (int64_t i = 0; i < n; ++i) out[i] = kpg_which_world(s, s->ts[i]);
+  const int64_t* ks = s->kidnap_starts.data();
+  const int64_t* ke = s->kidnap_ends.data();
+  const int64_t nks = s->nks.load(std::memory_order_acquire);
+  const int64_t nke = s->nke.load(std::memory_order_acquire);
+  for (int64_t i = 0; i < n; ++i)
+    out[i] = which_world_impl(ks, ke, nks, nke, s->ts[i]);
 }
 
 }  // extern "C"

@@ -48,7 +48,8 @@ def _store_from_input(path: str, edge_mask=None, native: bool = False):
         g = g2o_io.load_g2o(path)
         inp = g2o_io.g2o_to_problem_inputs(g)
         store = make_store(initial_capacity=max(g.n_nodes, 16),
-                           native=native or None)
+                           native=native or None,
+                           max_capacity=max(g.n_nodes, 65536))
         t0 = 1_000_000_000
         dt = 100_000_000
         for i in range(g.n_nodes):
@@ -168,7 +169,8 @@ def cmd_replay(args):
 
     rec = _store_from_input(args.input)   # recorded data, replayed below
     store = make_store(initial_capacity=max(rec.node_len, 16),
-                       native=getattr(args, "native", False) or None)
+                       native=getattr(args, "native", False) or None,
+                       max_capacity=cfg.capacity.max_nodes)
     eng, cmp_ = _build_pipeline(store, cfg)
 
     if args.load_dir:
@@ -234,7 +236,8 @@ def cmd_serve(args):
     from solve_keyframe_pose_graph_tpu.graph.native import make_store
     from solve_keyframe_pose_graph_tpu.runtime_server import PoseGraphServer
 
-    store = make_store(native=getattr(args, "native", False) or None)
+    store = make_store(native=getattr(args, "native", False) or None,
+                       max_capacity=cfg.capacity.max_nodes)
     server = PoseGraphServer(store, cfg, save_dir=args.save_dir or None,
                              load_dir=args.load_dir or None)
     if args.warmup_nodes:

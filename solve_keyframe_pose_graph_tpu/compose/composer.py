@@ -65,6 +65,12 @@ class Composer:
     # ------------------------------------------------------------------
 
     def assemble(self) -> Optional[ComposedTrajectory]:
+        # engine.state_lock: consistent snapshot of opt poses + watermark
+        # while the solver thread writes back (see SolverEngine.state_lock)
+        with self.engine.state_lock:
+            return self._assemble_locked()
+
+    def _assemble_locked(self) -> Optional[ComposedTrajectory]:
         store, eng = self.store, self.engine
         n = store.node_len
         if n == 0:

@@ -61,7 +61,10 @@ class ResidualConfig:
     mode: str = "6dof"
     use_switch_constraints: bool = True     # loop edges get switch variables
     switch_init: float = 0.99               # PoseGraphSLAM.cpp:351-361
-    switch_prior_weight: float = 1.0        # row 7 scale (CeresResidues.h:189)
+    # NOTE: the switch-prior row scale is NOT configurable — the reference
+    # bakes the s*(1-s) prior row into the residual with no weight
+    # (CeresResidues.h:189-198) and chi^2 parity depends on reproducing
+    # exactly that; a dead knob here would only invite drift.
     odometry_fanout: int = 5                # f = 1..5, PoseGraphSLAM.cpp:1577
     odometry_decay: float = 0.9             # weight 0.9^f
     odometry_yaw_sigma2: float = 6.0        # * exp(-yaw^2/6), :1603-1606

@@ -286,6 +286,8 @@ class NativeGraphStore(GraphStore):
             self._h, int(ia), int(ib), _as_dp(q), _as_dp(t), float(weight)))
         if e == -2:
             raise RuntimeError("native store at hard edge capacity")
+        if e < 0:          # out-of-range node index (same contract as numpy)
+            return None
         self._e_desc.append(description)
         self.edge_mask.append(True)
         return e
@@ -312,13 +314,18 @@ class NativeGraphStore(GraphStore):
         return out
 
 
-def make_store(initial_capacity: int = 1024, native: Optional[bool] = None):
-    """Factory: native store when available (or required), else numpy."""
+def make_store(initial_capacity: int = 1024, native: Optional[bool] = None,
+               max_capacity: int = 65536):
+    """Factory: native store when available (or required), else numpy.
+    max_capacity is the native store's hard buffer reservation (plumb
+    CapacityConfig.max_nodes here; the numpy store grows dynamically and the
+    engine enforces the ceiling at trigger time)."""
+    max_capacity = max(int(max_capacity), int(initial_capacity))
     if native is False:
         return GraphStore(initial_capacity)
     if load_library(auto_build=bool(native)) is not None:
         try:
-            return NativeGraphStore(initial_capacity)
+            return NativeGraphStore(initial_capacity, max_capacity)
         except RuntimeError:
             pass
     if native:

@@ -143,7 +143,12 @@ class GraphStore:
                                            description)
 
     def add_loop_edge_by_index(self, ia: int, ib: int, q_b_T_a, t_b_T_a,
-                               weight: float, description: str = "") -> int:
+                               weight: float, description: str = ""
+                               ) -> Optional[int]:
+        # bounds check both endpoints: a corrupt checkpoint / g2o file must
+        # not plant an index that blows up later inside the jitted solve
+        if not (0 <= ia < self._n and 0 <= ib < self._n):
+            return None
         if self._e == len(self._e_a):
             self._grow_edges()
         e = self._e
@@ -255,10 +260,7 @@ class GraphStore:
         if i == 0:
             return 0
         if i - 1 < len(self.kidnap_ends):
-            ws = np.asarray(
-                [self.which_world_is_this(int(t)) for t in self._ts[: self._n]]
-            )
-            hits = np.nonzero(ws == i)[0]
+            hits = np.nonzero(self.node_worlds() == i)[0]
             if len(hits):
                 return int(hits[0])
         return -4
@@ -322,10 +324,36 @@ class GraphStore:
                 self._e_w[:e], np.asarray(self.edge_mask[:e], bool))
 
     def node_worlds(self) -> np.ndarray:
-        return np.asarray(
-            [self.which_world_is_this(int(t)) for t in self._ts[: self._n]],
-            np.int64,
-        )
+        """World id for every node — the per-trigger O(N) hot path,
+        vectorized as two searchsorted passes over the kidnap-interval
+        boundaries (equivalent to which_world_is_this per node; the
+        per-node scalar loop dominated trigger host time at large N).
+
+        Derivation: with a = #starts strictly before t and b = #ends
+        strictly before t, node t is in dead zone -(a) when a > b and in
+        world a when a == b — this reproduces every branch of
+        NodeDataManager.cpp:1127-1198 except the single-kidnap quirk
+        (t == ks[0] classifies as dead zone there), special-cased below.
+        Verified element-wise against which_world_is_this in
+        tests/test_store_worlds.py."""
+        n = self._n
+        ts = self._ts[:n]
+        ks = np.asarray(self.kidnap_starts, np.int64)
+        ke = np.asarray(self.kidnap_ends, np.int64)
+        if len(ks) == 0:
+            return np.zeros(n, np.int64)
+        if len(ks) == 1:
+            # exact branch structure of the nks == 1 case, including its
+            # ks[0]-inclusive dead-zone boundary
+            if len(ke) == 0:
+                return np.where(ts >= ks[0], -1, 0).astype(np.int64)
+            return np.where(
+                (ts >= ks[0]) & (ts <= ke[0]), -1,
+                np.where(ts < ks[0], 0, 1),
+            ).astype(np.int64)
+        a = np.searchsorted(ks, ts, side="left")   # starts strictly < t
+        b = np.searchsorted(ke, ts, side="left")   # ends strictly < t
+        return np.where(a > b, -a, a).astype(np.int64)
 
     # ------------------------------------------------------------------
     # persistence: log_posegraph.json schema (NodeDataManager.cpp:503-754)
@@ -422,7 +450,9 @@ class GraphStore:
                 ev += 1
             T = _csv_to_matrix(node["wTc"], 4, 4)
             q, t = nse3.matrix_to_pose(T)
-            g.add_node(ts, q, t)
+            cov = (_csv_to_matrix(node["cov"], 6, 6)
+                   if "cov" in node else None)
+            g.add_node(ts, q, t, cov)
         while ev < len(events):
             t_ev, kind = events[ev]
             if kind == "k":
@@ -438,19 +468,26 @@ class GraphStore:
                 int(e["idx0"]), int(e["idx1"]), q, t,
                 float(e.get("weight", 1.0)), e.get("description", ""),
             )
+            if idx is None:
+                raise ValueError(
+                    f"loop edge ({e['idx0']},{e['idx1']}) out of range for "
+                    f"{g.node_len} nodes"
+                )
             keep = e.get("edge_mask", True)
             if edge_mask is not None:
                 keep = keep and bool(edge_mask[i])
             g.edge_mask[idx] = bool(keep)
 
-        # timestamp <-> index consistency check (NodeDataManager.cpp:736-747)
+        # timestamp <-> index consistency check on BOTH endpoints
+        # (NodeDataManager.cpp:736-747)
         for e in obj.get("loopedges", []):
-            ts0 = (int(e["timestamp0_ns"]) if "timestamp0_ns" in e
-                   else int(round(e["timestamp0"] * 1e9)))
-            ia = g.find_indexof_node(ts0)
-            assert ia == int(e["idx0"]), (
-                f"edge timestamp/index mismatch: {ia} != {e['idx0']}"
-            )
+            for tkey, ikey in (("timestamp0", "idx0"), ("timestamp1", "idx1")):
+                ts = (int(e[tkey + "_ns"]) if tkey + "_ns" in e
+                      else int(round(e[tkey] * 1e9)))
+                ia = g.find_indexof_node(ts)
+                assert ia == int(e[ikey]), (
+                    f"edge timestamp/index mismatch: {ia} != {e[ikey]}"
+                )
         return g
 
     def kidnap_data_to_json(self) -> dict:

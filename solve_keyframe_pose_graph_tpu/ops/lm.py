@@ -67,7 +67,9 @@ class _LoopState(NamedTuple):
     accepted: jax.Array
     cg_total: jax.Array
     done: jax.Array
-    dx_warm: jax.Array           # previous scaled node step (CG warm start)
+    # NOTE: no CG warm-start slot — carrying the previous scaled step across
+    # re-linearizations was measured harmful (the scaling changes every
+    # iteration) and a dead field in a jitted loop invites drift.
 
 
 def _apply_step(q, t, s, dx_n, dx_s, node_mask, renormalize: bool):
@@ -274,9 +276,6 @@ def lm_solve(
             accepted=state.accepted + accept.astype(jnp.int32),
             cg_total=state.cg_total + sol.iterations,
             done=done,
-            dx_warm=state.dx_warm,   # warm start measured harmful across
-                                     # re-linearizations; kept as state slot
-                                     # for future trust-region-aware reuse
         )
 
     def cond(state: _LoopState):
@@ -287,7 +286,6 @@ def lm_solve(
         radius=f32(initial_radius), decrease_factor=f32(2.0),
         k=jnp.int32(0), accepted=jnp.int32(0), cg_total=jnp.int32(0),
         done=jnp.asarray(False),
-        dx_warm=jnp.zeros((6, problem.n_cap), dt),
     )
     if outer_unroll:
         # Unroll the outer LM loop into straight-line code with a done-mask

@@ -30,6 +30,7 @@ compiles once (XLA static shapes), so a long run pays O(log N) compiles.
 from __future__ import annotations
 
 import math
+import threading
 import time
 from typing import Dict, Optional, Tuple
 
@@ -77,6 +78,13 @@ class SolverEngine:
         self.timer = PhaseTimer()
         # worldID -> (old setID, new setID), valid for one trigger
         self._changes_to_setid: Dict[int, Tuple[int, int]] = {}
+        # guards opt-variable mutation (initial guesses, write_back,
+        # solved_until) against concurrent Composer.assemble() readers. The
+        # reference deliberately races these reads (PoseGraphSLAM.cpp:
+        # 1893-1902); our serving API returns the data to clients, so torn
+        # pre/post-solve mixes are not acceptable. The device solve itself
+        # runs outside the lock (it works on an immutable snapshot).
+        self.state_lock = threading.RLock()
 
     # ------------------------------------------------------------------
     # opt-variable access (PoseGraphSLAM.h:112-123 getters)
@@ -235,6 +243,9 @@ class SolverEngine:
         opt_q = self._opt_q[:node_len]
         opt_t = self._opt_t[:node_len]
 
+        # cases 1-4 mutate the opt-pose arrays in place: hold state_lock so
+        # a concurrent assemble() reads either all-old or all-new guesses
+        self.state_lock.acquire()
         # case 1: solved nodes of a world whose setID changed -> re-base
         c1 = valid & before & in_change
         if c1.any():
@@ -274,6 +285,7 @@ class SolverEngine:
                                    vio_t_all[:node_len][c4])
             opt_q[c4] = nse3.quat_normalize(qn)
             opt_t[c4] = tn
+        self.state_lock.release()
 
         timer.totals["initial_guesses"] += time.perf_counter() - _t_guess0
         timer.counts["initial_guesses"] += 1
@@ -305,8 +317,9 @@ class SolverEngine:
             res = jax.device_get(res)
         self.last_result = res
 
-        # write back
-        with timer.phase("write_back"):
+        # write back (under state_lock so a concurrent assemble() never sees
+        # a half-updated pose set or a watermark ahead of the data)
+        with timer.phase("write_back"), self.state_lock:
             q_new = np.asarray(res.q[:node_len], np.float64)
             t_new = np.asarray(res.t[:node_len], np.float64)
             sw_new = np.asarray(res.switch[:edge_len], np.float64)
@@ -314,8 +327,7 @@ class SolverEngine:
             self._opt_q[:node_len][active] = q_new[active]
             self._opt_t[:node_len][active] = t_new[active]
             self._switch[:edge_len] = sw_new
-
-        self.solved_until = node_len - 1
+            self.solved_until = node_len - 1
         if bool(res.converged):
             self.n_solve_convergences += 1
         self.prev_edge_len = edge_len
@@ -357,6 +369,17 @@ class SolverEngine:
             wb = node_worlds[eb]
             loop_valid &= (wa >= 0) & (wb >= 0)
 
+        # enforce the configured capacity ceiling (the reference's analog is
+        # its static 30k arrays, PoseGraphSLAM.cpp:17-25): buckets double on
+        # demand but never past max_nodes/max_edges
+        if node_len > cap.max_nodes:
+            raise RuntimeError(
+                f"node capacity ceiling exceeded: {node_len} > "
+                f"{cap.max_nodes} (CapacityConfig.max_nodes)")
+        if edge_len > cap.max_edges:
+            raise RuntimeError(
+                f"edge capacity ceiling exceeded: {edge_len} > "
+                f"{cap.max_edges} (CapacityConfig.max_edges)")
         n_cap = _bucket(node_len, cap.initial_nodes)
         e_cap = _bucket(max(edge_len, 1), cap.initial_edges)
         p_cap = _bucket(max(len(prior_idx), 1), 16)

@@ -180,3 +180,72 @@ def test_graphstore_json_roundtrip(tmp_path, rng):
     # edge-mask ablation on load
     g3 = GraphStore.load_from_json(p, edge_mask=[True, False])
     assert g3.edge_mask == [True, False]
+
+def test_node_worlds_vectorized_matches_scalar():
+    """The searchsorted node_worlds must agree element-wise with the scalar
+    which_world_is_this branch structure on random kidnap schedules,
+    including the single-kidnap boundary quirks."""
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        g = GraphStore()
+        t = T0
+        n_events = int(rng.integers(0, 6))
+        kidnapped = False
+        first = True
+        for _ in range(40):
+            choice = rng.random()
+            if choice < 0.15 and n_events > 0 and not first:
+                n_events -= 1
+                if kidnapped:
+                    g.mark_as_unkidnapped(t)
+                else:
+                    g.mark_as_kidnapped(t)
+                kidnapped = not kidnapped
+            else:
+                g.add_node(t, nse3.quat_identity(), [0, 0, 0])
+                first = False
+            t += int(rng.integers(1, 3)) * S
+        expect = [g.which_world_is_this(int(ts))
+                  for ts in g.node_arrays()[0]]
+        assert g.node_worlds().tolist() == expect
+
+
+def test_node_worlds_single_kidnap_boundary_quirk():
+    """nks == 1: t == ks[0] is a dead zone (the reference's inclusive
+    boundary in that branch, NodeDataManager.cpp:1136-1146)."""
+    g = GraphStore()
+    g.add_node(T0, nse3.quat_identity(), [0, 0, 0])
+    g.add_node(T0 + 2 * S, nse3.quat_identity(), [0, 0, 0])  # == kidnap start
+    g.add_node(T0 + 3 * S, nse3.quat_identity(), [0, 0, 0])
+    g.mark_as_kidnapped(T0 + 2 * S)
+    assert g.which_world_is_this(T0 + 2 * S) == -1
+    assert g.node_worlds().tolist() == [0, -1, -1]
+    g.mark_as_unkidnapped(T0 + 4 * S)
+    g.add_node(T0 + 5 * S, nse3.quat_identity(), [0, 0, 0])
+    assert g.which_world_is_this(T0 + 2 * S) == -1
+    assert g.node_worlds().tolist() == [0, -1, -1, 1]
+
+
+def test_json_roundtrip_preserves_covariance(tmp_path):
+    g = GraphStore()
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        A = rng.normal(size=(6, 6))
+        g.add_node(T0 + i * S, nse3.quat_identity(), [i, 0, 0], A @ A.T)
+    p = str(tmp_path / "g.json")
+    g.save_as_json(p)
+    g2 = GraphStore.load_from_json(p)
+    for i in range(4):
+        np.testing.assert_allclose(g2.node_cov(i), g.node_cov(i), rtol=1e-12)
+
+
+def test_loop_edge_index_bounds_checked():
+    g = GraphStore()
+    for i in range(3):
+        g.add_node(T0 + i * S, nse3.quat_identity(), [i, 0, 0])
+    assert g.add_loop_edge_by_index(0, 5, nse3.quat_identity(),
+                                    [0, 0, 0], 1.0) is None
+    assert g.add_loop_edge_by_index(-1, 1, nse3.quat_identity(),
+                                    [0, 0, 0], 1.0) is None
+    assert g.add_loop_edge_by_index(2, 0, nse3.quat_identity(),
+                                    [0, 0, 0], 1.0) == 0
