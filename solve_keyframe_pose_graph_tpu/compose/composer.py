@@ -68,9 +68,135 @@ class Composer:
         # engine.state_lock: consistent snapshot of opt poses + watermark
         # while the solver thread writes back (see SolverEngine.state_lock)
         with self.engine.state_lock:
-            return self._assemble_locked()
+            return self._assemble_vectorized()
 
-    def _assemble_locked(self) -> Optional[ComposedTrajectory]:
+    def assemble_reference(self) -> Optional[ComposedTrajectory]:
+        """Literal per-node transcription of pose_assember_thread
+        (Composer.cpp:10-263). O(N) Python — kept as the differential-test
+        oracle for the vectorized assembly (tests/test_composer.py)."""
+        with self.engine.state_lock:
+            return self._assemble_loop()
+
+    def _assemble_vectorized(self) -> Optional[ComposedTrajectory]:
+        """Batched assembly: same 4 regimes as the reference loop, expressed
+        as masked batched SE(3) ops (nse3 is fp64 numpy, matching the
+        scalar path bit-for-bit). Dead zones are handled per zone — each
+        zone's nodes share one anchor (the last composed pose of the
+        previous world), so the chain is one batched composition."""
+        store, eng = self.store, self.engine
+        n = store.node_len
+        if n == 0:
+            return None
+        worlds = store.worlds
+        su = eng.solved_until
+        w = store.node_worlds()[:n]
+        su_world = int(w[su])
+
+        ts_, q_vio_full, t_vio_full = store.node_arrays()
+        q_vio = q_vio_full[:n]
+        t_vio = t_vio_full[:n]
+        q_out = q_vio.copy()
+        t_out = t_vio.copy()
+
+        # per-world LUTs: setID and ws_T_w (set frame <- world frame)
+        n_w = store.n_worlds()
+        set_of = np.asarray(
+            [worlds.find_setID_of_world_i(ww) for ww in range(n_w)],
+            np.int64)
+        q_sw = np.zeros((n_w, 4)); q_sw[:, 3] = 1.0
+        t_sw = np.zeros((n_w, 3))
+        rebasable = np.zeros(n_w, bool)
+        for ww in range(n_w):
+            sid = int(set_of[ww])
+            if sid >= 0 and sid != ww and worlds.is_exist(sid, ww):
+                rebasable[ww] = True
+                q_sw[ww], t_sw[ww] = worlds.get_pose_between_worlds(sid, ww)
+
+        idx = np.arange(n)
+        before = idx <= su
+        alive = w >= 0
+        wc = np.clip(w, 0, max(n_w - 1, 0))
+
+        # regime 1: solved prefix, live worlds -> solver pose if it exists
+        # (index gathers: the engine's opt arrays may be shorter than n
+        # before its first trigger grows them)
+        r1 = np.nonzero(before & alive & (idx < eng._n_opt))[0]
+        q_out[r1] = eng._opt_q[r1]
+        t_out[r1] = eng._opt_t[r1]
+        # (solved prefix without a solver pose keeps the vio init)
+
+        from_mgr = np.zeros(n, bool)
+        if su == 0:
+            from_mgr = ~before
+        else:
+            # regime 2: unsolved suffix, watermark world -> extrapolate
+            r2 = ~before & alive & (w == su_world)
+            if r2.any():
+                if eng.node_pose_exists(su):
+                    q_anchor, t_anchor = eng.get_node_pose(su)
+                else:
+                    q_anchor, t_anchor = store.node_pose(su)
+                ql, tl = store.node_pose(su)
+                qinv, tinv = nse3.pose_inv(ql, tl)
+                qd, td = nse3.pose_mul(
+                    np.broadcast_to(qinv, (int(r2.sum()), 4)),
+                    np.broadcast_to(tinv, (int(r2.sum()), 3)),
+                    q_vio[r2], t_vio[r2])
+                qn, tn = nse3.pose_mul(
+                    np.broadcast_to(q_anchor, qd.shape),
+                    np.broadcast_to(t_anchor, td.shape), qd, td)
+                q_out[r2], t_out[r2] = qn, tn
+            # regime 3: unsolved suffix, other live world -> vio pose
+            from_mgr = ~before & alive & (w != su_world)
+
+        # set-frame re-basing for odometry-sourced suffix poses whose world
+        # was merged (Composer.cpp:168-188)
+        r4 = from_mgr & alive & rebasable[wc]
+        if r4.any():
+            qn, tn = nse3.pose_mul(q_sw[wc[r4]], t_sw[wc[r4]],
+                                   q_out[r4], t_out[r4])
+            q_out[r4], t_out[r4] = qn, tn
+
+        # dead zones: chain from the last composed pose of the previous
+        # world by raw-odometry delta (Composer.cpp:84-95). Zones are
+        # processed per world id; each anchor pose was composed above
+        # (previous worlds never fall in a later zone). Bootstrap quirk:
+        # when su == 0 the scalar path's `su == 0` branch catches SUFFIX
+        # dead-zone nodes first, leaving them at raw VIO — only prefix
+        # nodes chain in that case.
+        chainable = before | (su > 0)
+        for dz in sorted(set(w[w < 0].tolist())):
+            zone = (w == dz) & chainable
+            if not zone.any():
+                continue
+            prev_w = -dz - 1
+            members = np.nonzero(np.asarray(w) == prev_w)[0]
+            assert len(members), f"no composed poses yet for world {prev_w}"
+            j = int(members[-1])
+            last_idx = store.nodeidx_of_world_i_ended(prev_w)
+            ql, tl = store.node_pose(last_idx)
+            qinv, tinv = nse3.pose_inv(ql, tl)
+            m = int(zone.sum())
+            qd, td = nse3.pose_mul(
+                np.broadcast_to(qinv, (m, 4)), np.broadcast_to(tinv, (m, 3)),
+                q_vio[zone], t_vio[zone])
+            qn, tn = nse3.pose_mul(
+                np.broadcast_to(q_out[j], (m, 4)),
+                np.broadcast_to(t_out[j], (m, 3)), qd, td)
+            q_out[zone], t_out[zone] = qn, tn
+
+        per_world: Dict[int, List[int]] = {
+            int(ww): np.nonzero(w == ww)[0].tolist()
+            for ww in np.unique(w)
+        }
+        comp = ComposedTrajectory(
+            q=q_out, t=t_out, world_of=w, per_world=per_world,
+            latest_pose_worldid=int(w[-1]), solved_until=su,
+        )
+        self.latest = comp
+        return comp
+
+    def _assemble_loop(self) -> Optional[ComposedTrajectory]:
         store, eng = self.store, self.engine
         n = store.node_len
         if n == 0:

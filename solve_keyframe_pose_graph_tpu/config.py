@@ -38,10 +38,15 @@ class SolverConfig:
     max_cg_iterations: int = 60
     cg_tolerance: float = 1e-2          # relative residual reduction
     cg_q_tolerance: float = 0.0         # 0 = off
-    preconditioner: str = "band"        # "band" (BCR) | "jacobi"
+    preconditioner: str = "band"        # "band" (BCR) | "jacobi" |
+                                        # "band+coarse" | "band*coarse"
+                                        # (two-level: band smoother +
+                                        # loop-aware aggregation coarse grid)
     bcr_levels: Optional[int] = 3       # truncate band cyclic reduction
                                         # (block-diag coarse solve); None =
                                         # full reduction
+    coarse_group: int = 32              # nodes per aggregate in the
+                                        # two-level preconditioners
     # dtype for device solve: "float32" (TPU-native) or "float64" (parity
     # checks on CPU).
     dtype: str = "float32"

@@ -102,7 +102,30 @@ class ExtrinsicMsg:
                 "q": list(map(float, self.q)), "t": list(map(float, self.t))}
 
 
-Message = Union[NodePoseMsg, LoopEdgeMsg, KidnapIndicatorMsg, ExtrinsicMsg]
+@dataclasses.dataclass
+class ImuPropagateMsg:
+    """The ~200 Hz low-latency input (/vins_estimator/imu_propagate,
+    keyframe_pose_graph_slam_node.cpp:458-461): the newest IMU odometry pose
+    w_T_imu. NOT graph state — the server answers each one immediately with
+    the corrected world-frame pose composed through the latest solved map
+    (Composer.cpp:848-943); applying it to a store is a no-op."""
+
+    t_ns: int
+    q: np.ndarray                       # (4,) xyzw, w_T_imu rotation
+    t: np.ndarray                       # (3,)
+
+    kind = "imu_propagate"
+
+    def apply(self, store):
+        return None                     # serving-path only
+
+    def to_json(self) -> dict:
+        return {"kind": self.kind, "t_ns": int(self.t_ns),
+                "q": list(map(float, self.q)), "t": list(map(float, self.t))}
+
+
+Message = Union[NodePoseMsg, LoopEdgeMsg, KidnapIndicatorMsg, ExtrinsicMsg,
+                ImuPropagateMsg]
 
 
 def message_from_json(d: dict) -> Message:
@@ -123,6 +146,9 @@ def message_from_json(d: dict) -> Message:
     if kind == "extrinsic":
         return ExtrinsicMsg(int(d["t_ns"]), np.asarray(d["q"], np.float64),
                             np.asarray(d["t"], np.float64))
+    if kind == "imu_propagate":
+        return ImuPropagateMsg(int(d["t_ns"]), np.asarray(d["q"], np.float64),
+                               np.asarray(d["t"], np.float64))
     raise ValueError(f"unknown message kind {kind!r}")
 
 

@@ -1,0 +1,114 @@
+"""Loop-aware coarse-grid correction for the PCG preconditioner.
+
+Why: the band BCR preconditioner (ops/band.py) factors the odometry chain
+exactly but ignores every loop-closure off-diagonal block, so on loop-dense
+graphs (the 5k/10k benchmark has 2 loop edges per node) CG still needs
+~40+ iterations per LM step — the solve is CG-bound. The reference never
+has this problem because Ceres factors the FULL sparse system
+(SPARSE_NORMAL_CHOLESKY, /root/reference/src/PoseGraphSLAM.cpp:1270).
+
+How (two-level aggregation, TPU-native): group `c` consecutive nodes into
+one 6-DOF coarse variable (piecewise-constant prolongation P over the
+trajectory — the rigid-segment motion space). The coarse operator
+H_c = P^T H P is assembled from the SAME entry-major blocks the fine matvec
+uses, via flat-36 scatter-adds into an (M*M, 36) table — every loop-closure
+block lands in it, so long-range loop coupling is solved EXACTLY at the
+coarse level. H_c is small (6M = 6*Nc/c, e.g. 960 for Nc=5120, c=32):
+one dense Cholesky + explicit inverse per LM iteration puts the per-CG-
+iteration cost at a single (6M,6M) matvec — MXU food.
+
+Combined with the band smoother either additively
+
+    M^-1 = B^-1 + P H_c^-1 P^T          ("band+coarse")
+
+or as a symmetrized multiplicative two-grid ("band*coarse"):
+
+    x1 = P H_c^-1 P^T r
+    x2 = x1 + B^-1 (r - H x1)
+    x3 = x2 + P H_c^-1 P^T (r - H x2)
+
+Both are SPD on the free subspace (prolongation is masked by free_mask so
+frozen/padded nodes never receive updates). The additive form costs one
+extra matvec-free apply per CG iteration; the multiplicative form costs two
+extra full matvecs but contracts more per iteration — which wins is
+measured on the benchmark graphs (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from solve_keyframe_pose_graph_tpu.ops import gn as gn_ops
+from solve_keyframe_pose_graph_tpu.solver.problem import Problem
+
+# entry permutation implementing the 6x6 transpose on flat-36 blocks
+_T36 = tuple(6 * (k % 6) + k // 6 for k in range(36))
+
+
+def build_coarse_inverse(red: "gn_ops.ReducedSystemT", problem: Problem,
+                         group: int) -> jax.Array:
+    """Assemble H_c = P^T H_reduced P over `group`-node aggregates and
+    return its explicit inverse, shape (6M, 6M).
+
+    All contributions come from the already scaled/damped/Schur-reduced
+    blocks, so the coarse operator tracks the trust region exactly. The
+    frozen-node projection in schur_reduce_t (identity diag, zeroed
+    couplings) makes frozen/padded nodes contribute +I to their segment's
+    diagonal block — inert, since the prolongation masks them out.
+    """
+    dt = red.Dh.dtype
+    Nc = red.Dh.shape[-1]
+    c = int(group)
+    M = -(-Nc // c)
+    u = jnp.arange(Nc)
+    seg = u // c                                        # (Nc,)
+
+    perm = jnp.asarray(_T36, jnp.int32)
+    Hc = jnp.zeros((M * M, 36), dt)
+    Hc = Hc.at[seg * M + seg].add(red.Dh.T)
+    for f in range(problem.fanout):
+        # Bh[f][:, u] couples node u (rows) with node u-f-1 (cols); the
+        # first f+1 lanes are zero blocks, so their clipped segment index
+        # contributes nothing
+        sl = jnp.maximum(u - (f + 1), 0) // c
+        BT = red.Bh[f].T                                # (Nc, 36)
+        Hc = Hc.at[seg * M + sl].add(BT)
+        Hc = Hc.at[sl * M + seg].add(BT[:, perm])
+    sb = seg[problem.loop_b]
+    sa = seg[problem.loop_a]
+    AT = red.Aba_h.T                                    # (Ec, 36)
+    Hc = Hc.at[sb * M + sa].add(AT)
+    Hc = Hc.at[sa * M + sb].add(AT[:, perm])
+
+    H = (Hc.reshape(M, M, 6, 6)
+           .transpose(0, 2, 1, 3)
+           .reshape(6 * M, 6 * M))
+    # fp32 safety jitter relative to the (Jacobi-scaled ~ O(1)) diagonal
+    diag_mean = jnp.mean(jnp.diagonal(H))
+    H = H + (1e-5 * diag_mean) * jnp.eye(6 * M, dtype=dt)
+
+    L = jnp.linalg.cholesky(H)
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(6 * M, dtype=dt), lower=True)
+    return Linv.T @ Linv
+
+
+def coarse_apply(Hc_inv: jax.Array, free_mask: jax.Array, r_n: jax.Array,
+                 group: int) -> jax.Array:
+    """x = F P H_c^-1 P^T r for a (6, Nc) entry-major residual; returns
+    (6, Nc). F = diag(free_mask) keeps frozen/padded nodes at exactly zero
+    so CG never moves them (their residual is identically zero, so the
+    restriction side needs no mask)."""
+    Nc = r_n.shape[-1]
+    c = int(group)
+    M = Hc_inv.shape[0] // 6
+    pad = M * c - Nc
+    rT = r_n.T                                          # (Nc, 6)
+    if pad:
+        rT = jnp.concatenate(
+            [rT, jnp.zeros((pad, 6), rT.dtype)], axis=0)
+    rc = rT.reshape(M, c, 6).sum(axis=1).reshape(M * 6)
+    y = (Hc_inv @ rc).reshape(M, 1, 6)
+    x = jnp.broadcast_to(y, (M, c, 6)).reshape(M * c, 6)[:Nc]
+    return x.T * free_mask[None, :]

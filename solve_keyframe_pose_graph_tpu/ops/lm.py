@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from solve_keyframe_pose_graph_tpu.ops import band as band_ops
+from solve_keyframe_pose_graph_tpu.ops import coarse as coarse_ops
 from solve_keyframe_pose_graph_tpu.ops import gn as gn_ops
 from solve_keyframe_pose_graph_tpu.ops import pcg as pcg_ops
 from solve_keyframe_pose_graph_tpu.ops import se3
@@ -87,7 +88,7 @@ def _apply_step(q, t, s, dx_n, dx_s, node_mask, renormalize: bool):
     static_argnames=(
         "max_iterations", "max_cg_iterations", "renormalize", "preconditioner",
         "freeze_preconditioner", "residual_mode", "use_switch",
-        "bcr_levels", "outer_unroll", "matvec_impl",
+        "bcr_levels", "outer_unroll", "matvec_impl", "coarse_group",
     ),
 )
 def lm_solve(
@@ -110,7 +111,12 @@ def lm_solve(
     function_tolerance: float = 1e-6,
     parameter_tolerance: float = 1e-8,
     renormalize: bool = True,
-    preconditioner: str = "band",   # "band" (BCR, default) | "jacobi"
+    preconditioner: str = "band",   # "band" (BCR) | "jacobi" |
+                                    # "band+coarse" (additive two-level:
+                                    # band smoother + aggregation coarse
+                                    # grid carrying the loop blocks) |
+                                    # "band*coarse" (symmetrized
+                                    # multiplicative two-grid)
     freeze_preconditioner: bool = False,  # factor once per solve (stale but
                                           # cheap) vs once per LM iteration
     residual_mode: str = "6dof",    # "6dof" (active path) | "4dof" (Euler
@@ -123,6 +129,8 @@ def lm_solve(
     outer_unroll: bool = False,     # unroll the LM loop (see below)
     matvec_impl: str = "auto",      # "auto" (pallas on TPU, xla on CPU) |
                                     # "xla" | "pallas"
+    coarse_group: int = 32,         # nodes per coarse aggregate for the
+                                    # two-level preconditioners
 ) -> LMResult:
     dt = problem.dtype
     f32 = lambda v: jnp.asarray(v, dt)
@@ -140,11 +148,13 @@ def lm_solve(
     q0, t0, s0 = problem.q, problem.t, problem.switch
     cost0 = cost_fn(problem, q0, t0, s0)
 
-    def make_precond(red):
+    def make_precond(red, mv=None):
         """Preconditioner application for a ReducedSystemT ((6,Nc) vectors).
         The BCR factorization runs on AoS super-node blocks (real (d,d)
-        matmuls want batched-matmul form); the bridge transposes are small."""
-        if preconditioner == "band":
+        matmuls want batched-matmul form); the bridge transposes are small.
+        mv (the reduced matvec) is required by the multiplicative two-grid
+        variant only."""
+        if preconditioner in ("band", "band+coarse", "band*coarse"):
             Dh_aos = gn_ops.t_blocks_to_aos(red.Dh)
             Bh_aos = jnp.stack([gn_ops.t_blocks_to_aos(red.Bh[f])
                                 for f in range(problem.fanout)])
@@ -154,7 +164,22 @@ def lm_solve(
             fac = band_ops.bcr_factorize(A_band, C_band,
                                          group=problem.fanout,
                                          max_levels=bcr_levels)
-            return lambda r: band_ops.band_precond_apply(fac, r.T).T
+            band = lambda r: band_ops.band_precond_apply(fac, r.T).T
+            if preconditioner == "band":
+                return band
+            Hc_inv = coarse_ops.build_coarse_inverse(red, problem,
+                                                     coarse_group)
+            coarse = lambda r: coarse_ops.coarse_apply(
+                Hc_inv, problem.free_mask, r, coarse_group)
+            if preconditioner == "band+coarse":
+                return lambda r: band(r) + coarse(r)
+            assert mv is not None, "band*coarse needs the reduced matvec"
+
+            def two_grid(r):
+                x1 = coarse(r)
+                x2 = x1 + band(r - mv(x1))
+                return x2 + coarse(r - mv(x2))
+            return two_grid
         Minv = smallinv.gauss_jordan_inv(gn_ops.t_blocks_to_aos(red.Dh))
         return lambda r: jnp.einsum("uij,uj->ui", Minv, r.T).T
 
@@ -180,6 +205,9 @@ def lm_solve(
         # Factor ONCE per solve from the initial linearization/trust region.
         # Staleness after big early steps costs CG iterations, so this is
         # worthwhile only when factorization dominates (huge graphs).
+        assert preconditioner != "band*coarse", (
+            "freeze_preconditioner is incompatible with the multiplicative "
+            "two-grid (its internal matvec must match the live system)")
         _, red0, *_ = _assemble_reduce(q0, t0, s0, initial_radius)
         pc_frozen = make_precond(red0)
 
@@ -197,7 +225,7 @@ def lm_solve(
         Aba_aos = gn_ops.t_blocks_to_aos(red.Aba_h)   # hoisted out of CG
         mv_red = lambda p: gn_ops.reduced_matvec_t(
             red, problem, p, impl=matvec_impl, Bup=Bup, Aba_aos=Aba_aos)
-        pc = pc_frozen if freeze_preconditioner else make_precond(red)
+        pc = pc_frozen if freeze_preconditioner else make_precond(red, mv_red)
 
         sol = pcg_ops.pcg_nodes(
             mv_red, pc, red.rhs_n,
@@ -331,4 +359,5 @@ def solve_problem(problem: Problem, solver_cfg,
         residual_mode=residual_mode,
         use_switch=use_switch,
         bcr_levels=getattr(solver_cfg, "bcr_levels", None),
+        coarse_group=getattr(solver_cfg, "coarse_group", 32),
     )

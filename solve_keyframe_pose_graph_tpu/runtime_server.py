@@ -34,7 +34,12 @@ from solve_keyframe_pose_graph_tpu.compose.composer import Composer
 from solve_keyframe_pose_graph_tpu.config import Config
 from solve_keyframe_pose_graph_tpu.graph import messages as msgs
 from solve_keyframe_pose_graph_tpu.solver.engine import SolverEngine
+from solve_keyframe_pose_graph_tpu.utils import nse3
 from solve_keyframe_pose_graph_tpu.utils.log import StatusPrinter, get_logger
+
+
+def _pose_matrix_list(q, t):
+    return [[float(v) for v in row] for row in nse3.pose_to_matrix(q, t)]
 
 
 class PoseGraphServer:
@@ -65,6 +70,20 @@ class PoseGraphServer:
         if kind == "shutdown":
             self._stop.set()
             return json.dumps({"ok": True, "shutdown": True})
+        if kind == "imu_propagate":
+            # the 200 Hz serving path: answer immediately with the corrected
+            # world-frame pose composed through the latest solved map — never
+            # touches the graph and never waits for a solve
+            # (Composer.cpp:848-943; wired at node.cpp:458-461)
+            msg = msgs.message_from_json(obj)
+            out = self.composer.imu_propagate(msg.q, msg.t)
+            if out is None:
+                return json.dumps({"ok": False, "t_ns": int(msg.t_ns)})
+            q_o, t_o = out
+            return json.dumps({
+                "ok": True, "t_ns": int(msg.t_ns),
+                "q": list(map(float, q_o)), "t": list(map(float, t_o)),
+            })
         msg = msgs.message_from_json(obj)
         with self._ingest_lock:   # serialize multi-client appends
             msg.apply(self.store)
@@ -95,11 +114,26 @@ class PoseGraphServer:
                 "world_of": np.asarray(comp.world_of).tolist(),
             }
         if what == "pose":
-            self.composer.assemble()
+            # cheap: read the assembler thread's latest snapshot (assemble
+            # on demand only before the first tick)
+            if self.composer.latest is None:
+                self.composer.assemble()
             idx, q, t, stamp = self.composer.last_known_camerapose()
             if idx < 0:
                 return {"ok": False}
             return {"ok": True, "idx": int(idx), "stamp_ns": int(stamp),
+                    "q": list(map(float, q)), "t": list(map(float, t))}
+        if what == "world_transform":
+            # w0_T_w1-style query (the reference publishes world 0 -> world 1
+            # on demand, Composer.cpp:601-644; here any known pair)
+            m = int(obj.get("m", 0))
+            n = int(obj.get("n", 1))
+            worlds = self.store.worlds
+            if (m < 0 or n < 0 or not worlds.is_exist(m, n)):
+                return {"ok": False, "m": m, "n": n}
+            q, t = worlds.get_pose_between_worlds(m, n)
+            T = _pose_matrix_list(q, t)
+            return {"ok": True, "m": m, "n": n, "m_T_n": T,
                     "q": list(map(float, q)), "t": list(map(float, t))}
         return {"error": f"unknown query {what!r}"}
 
@@ -144,6 +178,20 @@ class PoseGraphServer:
             while not self._stop.wait(1.0):
                 self.status.tick(force=True)
         threading.Thread(target=status_loop, daemon=True).start()
+
+        # assembler thread (the reference's 30 Hz pose_assember_thread,
+        # Composer.cpp:10): keeps composer.latest fresh so pose /
+        # imu_propagate serving reads a snapshot instead of assembling
+        # per request
+        period = 1.0 / max(self.config.stream.assembler_hz, 1e-3)
+
+        def assembler_loop():
+            while not self._stop.wait(period):
+                try:
+                    self.composer.assemble()
+                except Exception as e:     # never kill serving on a race
+                    self.logger.warning(f"assemble failed: {e!r}")
+        threading.Thread(target=assembler_loop, daemon=True).start()
 
         with Server(socket_path, Handler) as srv:
             threading.Thread(target=srv.serve_forever, daemon=True).start()

@@ -1,0 +1,110 @@
+"""Two-level (band + aggregation coarse grid) preconditioner correctness.
+
+Checks, on a small circle graph (fp64, CPU):
+  * the assembled coarse operator equals P^T H_reduced P computed by
+    applying the reduced matvec to the prolongated coarse basis
+  * both combined preconditioners are symmetric PSD operators on the free
+    subspace (a hard requirement for PCG)
+  * lm_solve with the two-level preconditioners reaches the same final
+    cost as the plain band preconditioner, in no more CG iterations
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from solve_keyframe_pose_graph_tpu.ops import coarse as coarse_ops
+from solve_keyframe_pose_graph_tpu.ops import gn as gn_ops
+from solve_keyframe_pose_graph_tpu.ops import lm as lm_ops
+from tests.test_lm_solver import build_circle_problem
+
+
+def _reduced(prob, radius=1e4):
+    blocks = gn_ops.assemble_t(prob, prob.q, prob.t, prob.switch)
+    diag_n = blocks.D[jnp.arange(0, 36, 7)]
+    diag_s = blocks.ds
+    scale_n = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag_n, 0)))
+    scale_s = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag_s, 0)))
+    lm_n = jnp.clip(diag_n * scale_n * scale_n, 1e-6, 1e32) / radius
+    lm_s = jnp.clip(diag_s * scale_s * scale_s, 1e-6, 1e32) / radius
+    return gn_ops.schur_reduce_t(blocks, prob, scale_n, scale_s, lm_n, lm_s)
+
+
+def test_coarse_operator_matches_ptp():
+    _, prob = build_circle_problem(n=60, n_loops=12, seed=11)
+    red = _reduced(prob)
+    group = 8
+    Nc = prob.n_cap
+    M = -(-Nc // group)
+
+    Hc_inv = coarse_ops.build_coarse_inverse(red, prob, group)
+    Hc = np.linalg.inv(np.array(Hc_inv))
+
+    # dense P^T H P column by column: prolongate each coarse basis vector,
+    # run the reduced matvec, restrict
+    seg = np.arange(Nc) // group
+    ref = np.zeros((6 * M, 6 * M))
+    for j in range(6 * M):
+        sj, cj = j // 6, j % 6
+        p = np.zeros((6, Nc))
+        p[cj, seg == sj] = 1.0
+        y = np.array(gn_ops.reduced_matvec_t(red, prob, jnp.asarray(p),
+                                             impl="xla"))
+        for si in range(M):
+            ref[si * 6:(si + 1) * 6, j] = y[:, seg == si].sum(axis=1)
+    # the builder adds a tiny safety jitter on the diagonal
+    ref += np.eye(6 * M) * (1e-5 * np.trace(ref) / (6 * M))
+    np.testing.assert_allclose(Hc, ref, rtol=1e-6, atol=1e-8)
+
+
+def test_two_level_preconditioners_symmetric_psd(rng):
+    _, prob = build_circle_problem(n=60, n_loops=12, seed=7)
+    red = _reduced(prob)
+    group = 8
+    Hc_inv = coarse_ops.build_coarse_inverse(red, prob, group)
+    band_mask = np.array(prob.free_mask)
+
+    def coarse(r):
+        return coarse_ops.coarse_apply(Hc_inv, prob.free_mask,
+                                       jnp.asarray(r), group)
+
+    mv = lambda p: gn_ops.reduced_matvec_t(red, prob, jnp.asarray(p),
+                                           impl="xla")
+
+    def two_grid(r):
+        x1 = np.array(coarse(r))
+        # band part replaced by jacobi here — symmetry structure is what is
+        # under test and any SPD smoother preserves it
+        from solve_keyframe_pose_graph_tpu.ops import smallinv
+        Minv = smallinv.gauss_jordan_inv(gn_ops.t_blocks_to_aos(red.Dh))
+        smooth = lambda v: np.array(
+            jnp.einsum("uij,uj->ui", Minv, jnp.asarray(v).T).T)
+        x2 = x1 + smooth(r - np.array(mv(x1)))
+        return x2 + np.array(coarse(r - np.array(mv(x2))))
+
+    for op in (lambda r: np.array(coarse(r)), two_grid):
+        a = rng.normal(size=(6, prob.n_cap)) * band_mask[None, :]
+        b = rng.normal(size=(6, prob.n_cap)) * band_mask[None, :]
+        lhs = np.vdot(op(a), b)
+        rhs = np.vdot(a, op(b))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-8, atol=1e-10)
+        # PSD: x^T M^-1 x >= 0
+        assert np.vdot(a, op(a)) >= -1e-10
+
+
+def test_lm_two_level_matches_band_quality():
+    for precond in ("band+coarse", "band*coarse"):
+        _, prob = build_circle_problem(n=200, n_loops=40, seed=3)
+        res_band = lm_ops.lm_solve(prob, max_iterations=10,
+                                   preconditioner="band")
+        res_2l = lm_ops.lm_solve(prob, max_iterations=10,
+                                 preconditioner=precond, coarse_group=16)
+        assert float(res_2l.final_cost) <= 1.05 * float(res_band.final_cost)
+        # the whole point: fewer (or equal) CG iterations
+        assert int(res_2l.total_cg_iterations) <= int(
+            res_band.total_cg_iterations)
+        # frozen/padded nodes must stay exactly at their inputs
+        nm = np.array(prob.node_mask) < 0.5
+        np.testing.assert_array_equal(np.array(res_2l.q)[nm],
+                                      np.array(prob.q)[nm])
+        np.testing.assert_array_equal(np.array(res_2l.t)[nm],
+                                      np.array(prob.t)[nm])

@@ -134,3 +134,101 @@ def test_checkpoint_roundtrip(tmp_path):
     assert eng2.trigger()
     assert store2.worlds.find_setID_of_world_i(1) == 0
     np.testing.assert_allclose(eng2._opt_t[:10], frozen_before, atol=0)
+
+def _assert_comp_equal(a, b):
+    np.testing.assert_array_equal(a.world_of, b.world_of)
+    np.testing.assert_allclose(a.q, b.q, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(a.t, b.t, rtol=0, atol=1e-12)
+    assert a.per_world == b.per_world
+    assert a.latest_pose_worldid == b.latest_pose_worldid
+    assert a.solved_until == b.solved_until
+
+
+def test_vectorized_assembly_matches_reference_loop():
+    """The batched assembly must agree with the literal per-node
+    transcription of Composer.cpp:10-263 across every regime: solved
+    prefix, watermark extrapolation, other-world suffix, dead zones,
+    set-frame re-basing after merges."""
+    # scenario A: single world, solved prefix + suffix
+    store, eng = build_session()
+    cmp_ = Composer(store, eng)
+    _assert_comp_equal(cmp_._assemble_vectorized(), cmp_._assemble_loop())
+
+    # scenario B: + dead zone
+    store.kidnap_indicator(T0 + int(60.5 * S), "kidnapped")
+    for k in range(3):
+        store.add_node(T0 + int((61 + k) * S), nse3.quat_identity(),
+                       [500.0 + k * 2, 100, 0])
+    _assert_comp_equal(cmp_._assemble_vectorized(), cmp_._assemble_loop())
+
+    # scenario C: second world + inter-world merge (re-basing active)
+    store.kidnap_indicator(T0 + int(64.5 * S), "unkidnapped")
+    for k in range(12):
+        store.add_node(T0 + int((65 + k) * S), nse3.quat_identity(),
+                       [float(30 + k), 1.0, 0])
+    store.add_loop_edge(T0 + int(68 * S), T0 + int(33 * S),
+                        nse3.quat_identity(), [0.2, 0.1, 0], 1.0)
+    eng.trigger()
+    _assert_comp_equal(cmp_._assemble_vectorized(), cmp_._assemble_loop())
+
+    # scenario D: more nodes after the solve (suffix in world 1 != world of
+    # new watermark? also exercises per-world bookkeeping with 3 keys)
+    for k in range(5):
+        store.add_node(T0 + int((80 + k) * S), nse3.quat_identity(),
+                       [float(45 + k), 1.0, 0])
+    _assert_comp_equal(cmp_._assemble_vectorized(), cmp_._assemble_loop())
+
+
+def test_random_schedule_assembly_parity():
+    """Fuzz: random kidnap/loop schedules, vectorized == loop."""
+    rng = np.random.default_rng(42)
+    for trial in range(8):
+        store = GraphStore()
+        eng = SolverEngine(store, cfg64())
+        cmp_ = Composer(store, eng)
+        t = T0
+        kidnapped = False
+        i = 0
+        n_target = int(rng.integers(40, 90))
+        while i < n_target:
+            r = rng.random()
+            if r < 0.06 and i > 10:
+                if kidnapped:
+                    store.kidnap_indicator(t, "unkidnapped")
+                else:
+                    store.kidnap_indicator(t, "kidnapped")
+                kidnapped = not kidnapped
+                t += S
+                continue
+            store.add_node(t, nse3.quat_identity(),
+                           [float(i), rng.normal() * 0.1, 0])
+            if (not kidnapped and r > 0.9 and i > 15
+                    and store.node_len > 12):
+                j = int(rng.integers(0, store.node_len - 10))
+                store.add_loop_edge(
+                    t, store.node_timestamp(j), nse3.quat_identity(),
+                    np.asarray(store.node_pose(store.node_len - 1)[1])
+                    - np.asarray(store.node_pose(j)[1]),
+                    1.0)
+                eng.trigger()
+            t += S
+            i += 1
+        if store.node_len:
+            _assert_comp_equal(cmp_._assemble_vectorized(),
+                               cmp_._assemble_loop())
+
+
+def test_vectorized_assembly_scales():
+    """30k nodes assemble fast (the reference runs this at 30 Hz in C++;
+    the old per-node Python loop took seconds at this size)."""
+    import time
+    store = GraphStore(initial_capacity=30000)
+    eng = SolverEngine(store, cfg64())
+    for i in range(30000):
+        store.add_node(T0 + i * S, nse3.quat_identity(), [float(i), 0, 0])
+    cmp_ = Composer(store, eng)
+    t0 = time.perf_counter()
+    comp = cmp_.assemble()
+    wall = time.perf_counter() - t0
+    assert comp is not None and len(comp.t) == 30000
+    assert wall < 1.0, f"assembly took {wall:.2f}s at 30k nodes"

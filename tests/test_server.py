@@ -76,6 +76,51 @@ def test_server_end_to_end(tmp_path):
     pose = json.loads(f.readline())
     assert pose["ok"] and len(pose["t"]) == 3
 
+    # 200 Hz imu-propagate serving path: set the extrinsic, stream imu
+    # poses, get corrected world-frame poses back WITHOUT any solve in
+    # between (the reference's hz200/* publishers, Composer.cpp:820-943)
+    from solve_keyframe_pose_graph_tpu.utils import nse3
+    q_ic = nse3.quat_normalize(np.asarray([0.0, 0.0, 0.1, 1.0]))
+    t_ic = np.asarray([0.05, 0.0, 0.02])
+    f.write(json.dumps(msgs.ExtrinsicMsg(
+        t0, q_ic, t_ic).to_json()) + "\n")
+    f.flush()
+    time.sleep(0.2)   # let the assembler thread tick once more
+    n_triggers_before = None
+    f.write(json.dumps({"kind": "query", "what": "status"}) + "\n")
+    f.flush()
+    n_triggers_before = json.loads(f.readline())["triggers"]
+    replies = []
+    for k in range(5):
+        q_imu = nse3.quat_identity()
+        t_imu = np.asarray([float(k), 0.0, 0.0])
+        f.write(json.dumps(msgs.ImuPropagateMsg(
+            t0 + (200 + k) * dtn, q_imu, t_imu).to_json()) + "\n")
+        f.flush()
+        replies.append(json.loads(f.readline()))
+    assert all(r["ok"] for r in replies), replies
+    # consecutive imu poses translate by [1,0,0] in the imu frame; the
+    # corrected outputs must preserve that relative motion exactly
+    r0, r1 = replies[0], replies[1]
+    d = np.asarray(r1["t"]) - np.asarray(r0["t"])
+    np.testing.assert_allclose(np.linalg.norm(d), 1.0, atol=1e-6)
+    f.write(json.dumps({"kind": "query", "what": "status"}) + "\n")
+    f.flush()
+    assert json.loads(f.readline())["triggers"] == n_triggers_before
+
+    # world_transform query: single-world graph -> identity for (0, 0),
+    # unknown pair -> ok: False
+    f.write(json.dumps({"kind": "query", "what": "world_transform",
+                        "m": 0, "n": 0}) + "\n")
+    f.flush()
+    wt = json.loads(f.readline())
+    assert wt["ok"]
+    np.testing.assert_allclose(np.asarray(wt["m_T_n"]), np.eye(4), atol=1e-12)
+    f.write(json.dumps({"kind": "query", "what": "world_transform",
+                        "m": 0, "n": 7}) + "\n")
+    f.flush()
+    assert json.loads(f.readline())["ok"] is False
+
     f.write(json.dumps({"kind": "shutdown"}) + "\n")
     f.flush()
     reply = json.loads(f.readline())
