@@ -177,4 +177,16 @@ def torus(n_nodes: int = 5000, n_loops: int = 4000, seed: int = 13,
     return _graph_from_gt(gt_q, gt_t, loops, rng)
 
 
-DATASETS = {"sphere2500": sphere, "manhattan3500": manhattan, "torus": torus}
+# "-analog" names to be honest about provenance: these are self-generated
+# graphs with the canonical datasets' structure and statistics, NOT the
+# standard public sphere2500/manhattan3500/torus g2o files (which are not
+# redistributable artifacts of this repo and not fetchable in this
+# environment). The g2o loader (graph/g2o.py) accepts the canonical files
+# unchanged — drop them in and benchmark via
+#   kpg-solve solve --input sphere2500.g2o   or
+#   python benchmarks/cpu_reference.py --g2o sphere2500.g2o
+DATASETS = {
+    "sphere2500-analog": sphere,
+    "manhattan3500-analog": manhattan,
+    "torus-analog": torus,
+}

@@ -608,8 +608,100 @@ def _bmv_T(Bf, x):        # y_j = sum_i Bf[6i+j] * x[i]
     ])
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["perm", "src", "bounds"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class SortedIncidence:
+    """Destination-sorted duplicated loop incidence, the key to the
+    scatter-free loop matvec (see loop_matvec_sorted). Pure function of
+    (loop_b, loop_a); computed once per solve inside the jitted program."""
+
+    perm: jax.Array      # (2Ec,) i32: dup-edge slot -> original dup index
+    src: jax.Array       # (2Ec,) i32: source node per sorted dup edge
+    bounds: jax.Array    # (Nc+1,) i32: segment boundaries per dest node
+
+
+def build_sorted_incidence(problem: Problem) -> SortedIncidence:
+    dest = jnp.concatenate([problem.loop_b, problem.loop_a])
+    src = jnp.concatenate([problem.loop_a, problem.loop_b])
+    perm = jnp.argsort(dest, stable=True)
+    dest_s = dest[perm]
+    bounds = jnp.searchsorted(
+        dest_s, jnp.arange(problem.n_cap + 1, dtype=dest.dtype))
+    return SortedIncidence(perm=perm, src=src[perm],
+                           bounds=bounds.astype(jnp.int32))
+
+
+def dup_sorted_blocks(red: ReducedSystemT, inc: SortedIncidence):
+    """(2Ec,6,6) dest-sorted loop blocks: Aba for the b-side copies, Aba^T
+    for the a-side copies. Rebuilt once per LM iteration (the scaled blocks
+    change); read once per CG iteration by loop_matvec_sorted.
+
+    Built entirely in the COMPACT entry-major (36, 2Ec) layout (entry
+    permutation = transpose, lane concat, lane gather) and reshaped at the
+    very end: materializing/gathering the (2Ec,6,6) AoS form would stream
+    the (8,128)-tile-padded layout (~28x the bytes) every LM iteration."""
+    ii, jj = _row_idx()
+    perm36 = jj * 6 + ii                               # 6x6 transpose
+    dup36 = jnp.concatenate([red.Aba_h, red.Aba_h[perm36]], axis=1)
+    sorted36 = dup36[:, inc.perm]                      # (36, 2Ec)
+    return jnp.moveaxis(sorted36, 0, -1).reshape(-1, 6, 6)
+
+
+def dup_sorted_blocks36(red: ReducedSystemT, inc: SortedIncidence):
+    """(36, 2Ec) dest-sorted duplicated loop blocks, entry-major end to end
+    (never materializes a (K,6,6) tensor — whose (8,128)-tiled layout costs
+    ~28x the bytes every read inside a jitted loop body)."""
+    ii, jj = _row_idx()
+    perm36 = jj * 6 + ii                               # 6x6 transpose
+    dup36 = jnp.concatenate([red.Aba_h, red.Aba_h[perm36]], axis=1)
+    return dup36[:, inc.perm]                          # (36, 2Ec)
+
+
+def loop_matvec_sorted36(inc: SortedIncidence, blk36, p_n):
+    """Fully entry-major scatter-free loop matvec: row-gather sources,
+    36 lane multiply-adds against (36, 2Ec) blocks, lane cumsum, sorted
+    lane boundary gathers. See loop_matvec_sorted for why scatter-free."""
+    pT = p_n.T                                         # (Nc, 6)
+    xsT = pT[inc.src].T                                # (6, 2Ec)
+    vT = jnp.stack([
+        sum(blk36[6 * i + j] * xsT[j] for j in range(6)) for i in range(6)
+    ])                                                 # (6, 2Ec)
+    cs = jnp.concatenate(
+        [jnp.zeros((6, 1), vT.dtype), jnp.cumsum(vT, axis=1)], axis=1)
+    hi = cs.at[:, inc.bounds[1:]].get(indices_are_sorted=True)
+    lo = cs.at[:, inc.bounds[:-1]].get(indices_are_sorted=True)
+    return hi - lo
+
+
+def loop_matvec_sorted(inc: SortedIncidence, blocks_dup, p_n):
+    """Scatter-free loop-edge matvec: y = A_loop p via dest-sorted
+    duplicated edges + cumulative-sum segment reduction.
+
+    Why: XLA's TPU scatter-add of (Ec,6) payloads costs ~0.24 ms at bench
+    scale (16k edges) — ~80% of a whole CG iteration — and sorted-index
+    hints don't help. With edges duplicated (one copy per direction) and
+    pre-sorted by destination, the scatter becomes an exclusive-prefix-sum
+    plus two SORTED boundary gathers, which measure ~free. Net: the loop
+    matvec drops 0.33 -> 0.16 ms and a full CG iteration 0.45 -> 0.25 ms
+    (benchmarks/exp_loop_matvec.py). Masked/padded edges carry zero blocks
+    and land in node 0's segment — they add exact zeros."""
+    pT = p_n.T                                        # (Nc, 6)
+    xs = pT[inc.src]                                  # (2Ec, 6)
+    v = jnp.einsum("eij,ej->ei", blocks_dup, xs)      # dest-sorted payload
+    csum = jnp.concatenate(
+        [jnp.zeros((1, 6), v.dtype), jnp.cumsum(v, axis=0)], axis=0)
+    hi = csum.at[inc.bounds[1:]].get(indices_are_sorted=True)
+    lo = csum.at[inc.bounds[:-1]].get(indices_are_sorted=True)
+    return (hi - lo).T
+
+
 def loop_matvec_t(red: ReducedSystemT, problem: Problem, p_n, Aba_aos=None):
-    """Loop-edge rows of the reduced matvec.
+    """Loop-edge rows of the reduced matvec (scatter-add fallback; the hot
+    path uses loop_matvec_sorted).
 
     Formulation matters 2.5x in-context: row-gather into (Ec,6) AoS, one
     batched einsum per direction against the AoS loop blocks, flat scatter —
@@ -641,24 +733,36 @@ def band_matvec_t(red: ReducedSystemT, problem: Problem, p_n):
 
 
 def reduced_matvec_t(red: ReducedSystemT, problem: Problem, p_n,
-                     impl: str = "xla", Bup=None, Aba_aos=None):
+                     impl: str = "xla", Bup=None, Aba_aos=None,
+                     inc: SortedIncidence | None = None, blocks_dup=None):
     """y = H_red p, p (6, Nc) — the lane-parallel hot op of every CG iter.
 
     impl="pallas" runs the band part through the fused Pallas kernel
     (ops/pallas_band.py): measured ~0.1 ms/iteration faster INSIDE the LM
     loop, where XLA's in-context codegen is ~2.5x slower than isolated (the
     kernel's explicit layout is immune). Pass Bup = shift_band_up(red.Bh)
-    and Aba_aos = t_blocks_to_aos(red.Aba_h) precomputed (loop-invariant)
-    when calling from inside CG."""
+    precomputed (loop-invariant) when calling from inside CG.
+
+    Loop rows: pass inc = build_sorted_incidence(problem) (per solve) and
+    blocks_dup = dup_sorted_blocks(red, inc) (per LM iteration) to take the
+    scatter-free path (~1.8x faster CG iterations); otherwise falls back to
+    the scatter-add form (optionally with Aba_aos hoisted)."""
+    if inc is not None:
+        if blocks_dup is None:
+            blocks_dup = dup_sorted_blocks36(red, inc)
+        if blocks_dup.ndim == 2:        # (36, 2Ec) entry-major
+            yl = loop_matvec_sorted36(inc, blocks_dup, p_n)
+        else:                           # (2Ec, 6, 6) AoS
+            yl = loop_matvec_sorted(inc, blocks_dup, p_n)
+    else:
+        yl = loop_matvec_t(red, problem, p_n, Aba_aos)
     if impl == "pallas":
         from solve_keyframe_pose_graph_tpu.ops import pallas_band
         if Bup is None:
             Bup = pallas_band.shift_band_up(red.Bh)
-        y = pallas_band.band_matvec_pre(red.Dh, red.Bh, Bup, p_n,
-                                        block_n=256)
-        return y + loop_matvec_t(red, problem, p_n, Aba_aos)
-    return (band_matvec_t(red, problem, p_n)
-            + loop_matvec_t(red, problem, p_n, Aba_aos))
+        return pallas_band.band_matvec_pre(red.Dh, red.Bh, Bup, p_n,
+                                           block_n=256) + yl
+    return band_matvec_t(red, problem, p_n) + yl
 
 
 def recover_switches_t(red: ReducedSystemT, problem: Problem, x_n):

@@ -89,6 +89,7 @@ def _apply_step(q, t, s, dx_n, dx_s, node_mask, renormalize: bool):
         "max_iterations", "max_cg_iterations", "renormalize", "preconditioner",
         "freeze_preconditioner", "residual_mode", "use_switch",
         "bcr_levels", "outer_unroll", "matvec_impl", "coarse_group",
+        "loop_impl",
     ),
 )
 def lm_solve(
@@ -131,6 +132,16 @@ def lm_solve(
                                     # "xla" | "pallas"
     coarse_group: int = 32,         # nodes per coarse aggregate for the
                                     # two-level preconditioners
+    loop_impl: str = "scatter",     # "scatter" (at[].add) | "sorted" |
+                                    # "sorted36" (scatter-free cumsum
+                                    # forms). Measured IN-CONTEXT on the
+                                    # 5k/10k bench: scatter 225 ms/solve,
+                                    # sorted 245, sorted36 381 — the
+                                    # scatter-free forms win 1.8x in
+                                    # isolated fori_loop probes but LOSE
+                                    # inside the real nested while_loop
+                                    # (XLA materializes the padded
+                                    # intermediates); keep "scatter".
 ) -> LMResult:
     dt = problem.dtype
     f32 = lambda v: jnp.asarray(v, dt)
@@ -147,6 +158,10 @@ def lm_solve(
 
     q0, t0, s0 = problem.q, problem.t, problem.switch
     cost0 = cost_fn(problem, q0, t0, s0)
+    # dest-sorted duplicated loop incidence: once per solve, loop-invariant
+    # (enables the scatter-free loop matvec — gn.loop_matvec_sorted)
+    inc = (gn_ops.build_sorted_incidence(problem)
+           if loop_impl in ("sorted", "sorted36") else None)
 
     def make_precond(red, mv=None):
         """Preconditioner application for a ReducedSystemT ((6,Nc) vectors).
@@ -222,9 +237,17 @@ def lm_solve(
             Bup = pallas_band.shift_band_up(red.Bh)   # hoisted out of CG
         else:
             Bup = None
-        Aba_aos = gn_ops.t_blocks_to_aos(red.Aba_h)   # hoisted out of CG
+        if inc is not None:
+            blocks_dup = (gn_ops.dup_sorted_blocks36(red, inc)
+                          if loop_impl == "sorted36"
+                          else gn_ops.dup_sorted_blocks(red, inc))  # hoisted
+            Aba_aos = None
+        else:
+            blocks_dup = None
+            Aba_aos = gn_ops.t_blocks_to_aos(red.Aba_h)      # hoisted
         mv_red = lambda p: gn_ops.reduced_matvec_t(
-            red, problem, p, impl=matvec_impl, Bup=Bup, Aba_aos=Aba_aos)
+            red, problem, p, impl=matvec_impl, Bup=Bup, Aba_aos=Aba_aos,
+            inc=inc, blocks_dup=blocks_dup)
         pc = pc_frozen if freeze_preconditioner else make_precond(red, mv_red)
 
         sol = pcg_ops.pcg_nodes(

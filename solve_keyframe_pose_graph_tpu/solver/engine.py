@@ -207,6 +207,77 @@ class SolverEngine:
         # vectorized with batched SE(3) ops + per-world lookup tables (the
         # per-node Python loop cost ~25 us/node — 50 ms/trigger at 2k nodes)
         _t_guess0 = time.perf_counter()
+        self._set_initial_guesses(node_len, node_worlds)
+        timer.totals["initial_guesses"] += time.perf_counter() - _t_guess0
+        timer.counts["initial_guesses"] += 1
+        # ---- 5: soft anchors on set-root world starts (:1801-1879)
+        prior_idx, prior_q, prior_t, prior_w = [], [], [], []
+        for ww in range(store.n_worlds()):
+            ww_setid = worlds.find_setID_of_world_i(ww)
+            ww_start = store.nodeidx_of_world_i_started(ww)
+            ww_end = store.nodeidx_of_world_i_ended(ww)
+            if ww_start < 0:
+                continue
+            if ww_setid >= 0 and ww_setid == ww:
+                weight = max(1.1, math.log(1 + max(ww_end - ww_start, 0)) / 2.0)
+                prior_idx.append(ww_start)
+                prior_q.append(self._opt_q[ww_start].copy())
+                prior_t.append(self._opt_t[ww_start].copy())
+                prior_w.append(weight)
+
+        self._changes_to_setid.clear()
+
+        # ---- 6: device solve
+        self.status = 2
+        with timer.phase("device_solve"):
+            res = self._solve_device(node_len, edge_len, node_worlds,
+                                     prior_idx, prior_q, prior_t, prior_w)
+            # ONE device->host transfer for everything (each individual
+            # fetch costs a full tunnel round trip)
+            res = jax.device_get(res)
+        self.last_result = res
+
+        # write back (under state_lock so a concurrent assemble() never sees
+        # a half-updated pose set or a watermark ahead of the data)
+        with timer.phase("write_back"), self.state_lock:
+            q_new = np.asarray(res.q[:node_len], np.float64)
+            t_new = np.asarray(res.t[:node_len], np.float64)
+            sw_new = np.asarray(res.switch[:edge_len], np.float64)
+            active = (node_worlds >= 0) & ~self._opt_frozen[:node_len]
+            self._opt_q[:node_len][active] = q_new[active]
+            self._opt_t[:node_len][active] = t_new[active]
+            self._switch[:edge_len] = sw_new
+            self.solved_until = node_len - 1
+
+        if bool(res.converged):
+            self.n_solve_convergences += 1
+        self.prev_edge_len = edge_len
+        self.prev_node_len = node_len
+        self.status = 3
+        timer.totals["trigger_total"] += time.perf_counter() - _t_trigger0
+        timer.counts["trigger_total"] += 1
+        self.solve_stats.append({
+            "trigger": self.trigger_id,
+            "node_len": node_len,
+            "edge_len": edge_len,
+            "initial_cost": float(res.initial_cost),
+            "final_cost": float(res.final_cost),
+            "lm_iterations": int(res.iterations),
+            "successful_steps": int(res.successful_steps),
+            "cg_iterations": int(res.total_cg_iterations),
+            "trigger_wall_ms": 1000.0 * (time.perf_counter() - _t_trigger0),
+        })
+        self.status = 0
+        return True
+
+    def _set_initial_guesses(self, node_len: int, node_worlds: np.ndarray
+                             ) -> None:
+        """Step 4 of the trigger: the 4-case initial-guess/re-basing table
+        (PoseGraphSLAM.cpp:1645-1795) on (_in_change_set, _before_
+        solvedUntil), vectorized. Property-tested against a literal
+        per-node port in tests/test_engine.py."""
+        store = self.store
+        worlds = store.worlds
         su = self.solved_until
         su_world = int(node_worlds[su]) if node_len else 0
         if su_world < 0:
@@ -286,68 +357,6 @@ class SolverEngine:
             opt_q[c4] = nse3.quat_normalize(qn)
             opt_t[c4] = tn
         self.state_lock.release()
-
-        timer.totals["initial_guesses"] += time.perf_counter() - _t_guess0
-        timer.counts["initial_guesses"] += 1
-
-        # ---- 5: soft anchors on set-root world starts (:1801-1879)
-        prior_idx, prior_q, prior_t, prior_w = [], [], [], []
-        for ww in range(store.n_worlds()):
-            ww_setid = worlds.find_setID_of_world_i(ww)
-            ww_start = store.nodeidx_of_world_i_started(ww)
-            ww_end = store.nodeidx_of_world_i_ended(ww)
-            if ww_start < 0:
-                continue
-            if ww_setid >= 0 and ww_setid == ww:
-                weight = max(1.1, math.log(1 + max(ww_end - ww_start, 0)) / 2.0)
-                prior_idx.append(ww_start)
-                prior_q.append(self._opt_q[ww_start].copy())
-                prior_t.append(self._opt_t[ww_start].copy())
-                prior_w.append(weight)
-
-        self._changes_to_setid.clear()
-
-        # ---- 6: device solve
-        self.status = 2
-        with timer.phase("device_solve"):
-            res = self._solve_device(node_len, edge_len, node_worlds,
-                                     prior_idx, prior_q, prior_t, prior_w)
-            # ONE device->host transfer for everything (each individual
-            # fetch costs a full tunnel round trip)
-            res = jax.device_get(res)
-        self.last_result = res
-
-        # write back (under state_lock so a concurrent assemble() never sees
-        # a half-updated pose set or a watermark ahead of the data)
-        with timer.phase("write_back"), self.state_lock:
-            q_new = np.asarray(res.q[:node_len], np.float64)
-            t_new = np.asarray(res.t[:node_len], np.float64)
-            sw_new = np.asarray(res.switch[:edge_len], np.float64)
-            active = (node_worlds >= 0) & ~self._opt_frozen[:node_len]
-            self._opt_q[:node_len][active] = q_new[active]
-            self._opt_t[:node_len][active] = t_new[active]
-            self._switch[:edge_len] = sw_new
-            self.solved_until = node_len - 1
-        if bool(res.converged):
-            self.n_solve_convergences += 1
-        self.prev_edge_len = edge_len
-        self.prev_node_len = node_len
-        self.status = 3
-        timer.totals["trigger_total"] += time.perf_counter() - _t_trigger0
-        timer.counts["trigger_total"] += 1
-        self.solve_stats.append({
-            "trigger": self.trigger_id,
-            "node_len": node_len,
-            "edge_len": edge_len,
-            "initial_cost": float(res.initial_cost),
-            "final_cost": float(res.final_cost),
-            "lm_iterations": int(res.iterations),
-            "successful_steps": int(res.successful_steps),
-            "cg_iterations": int(res.total_cg_iterations),
-            "trigger_wall_ms": 1000.0 * (time.perf_counter() - _t_trigger0),
-        })
-        self.status = 0
-        return True
 
     def _solve_device(self, node_len, edge_len, node_worlds,
                       prior_idx, prior_q, prior_t, prior_w) -> LMResult:

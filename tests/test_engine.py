@@ -154,3 +154,132 @@ def test_engine_warmup_compiles_buckets():
     # up to 2x the initial buckets -> 2 node buckets x 2 edge buckets
     n = eng.warmup(cap.initial_nodes * 2, cap.initial_edges * 2)
     assert n == 4
+
+# ---------------------------------------------------------------------------
+# literal per-node port of the 4-case initial-guess table
+# (PoseGraphSLAM.cpp:1645-1795), fuzzed against the vectorized
+# SolverEngine._set_initial_guesses
+# ---------------------------------------------------------------------------
+
+
+def _initial_guesses_literal(eng, node_len, node_worlds):
+    """Straight transcription of the reference loop. Returns (q, t) copies
+    (does not mutate engine state)."""
+    store, worlds = eng.store, eng.store.worlds
+    opt_q = eng._opt_q[:node_len].copy()
+    opt_t = eng._opt_t[:node_len].copy()
+    su = eng.solved_until
+    su_world = int(node_worlds[su])
+    if su_world < 0:                       # :1652
+        su_world = -su_world - 1
+
+    def get_pose(arr_q, arr_t, u):
+        return arr_q[u].copy(), arr_t[u].copy()
+
+    for u in range(node_len):
+        world_of_u = int(node_worlds[u])
+        set_of_u = worlds.find_setID_of_world_i(world_of_u)
+        if set_of_u < 0:                   # kidnapped nodes :1665
+            continue
+
+        q_sw, t_sw = nse3.quat_identity(), np.zeros(3)
+        if set_of_u != world_of_u:         # :1672-1681
+            assert worlds.is_exist(set_of_u, world_of_u)
+            q_sw, t_sw = worlds.get_pose_between_worlds(set_of_u, world_of_u)
+
+        before = u <= su                   # :1691
+        in_change = world_of_u in eng._changes_to_setid   # :1696
+
+        _, vq, vt = store.node_arrays()
+        if in_change and before:           # :1706-1727
+            old_sid, new_sid = eng._changes_to_setid[world_of_u]
+            q_ch, t_ch = worlds.get_pose_between_worlds(new_sid, old_sid)
+            qq, tt = get_pose(opt_q, opt_t, u)
+            qn, tn = nse3.pose_mul(q_ch, t_ch, qq, tt)
+            opt_q[u] = nse3.quat_normalize(qn)
+            opt_t[u] = tn
+        elif in_change and not before:     # :1729-1755
+            if su_world == world_of_u:
+                q_l, t_l = vq[su].copy(), vt[su].copy()
+                qi, ti = nse3.pose_inv(q_l, t_l)
+                qd, td = nse3.pose_mul(qi, ti, vq[u], vt[u])
+                if eng.node_pose_exists(su):
+                    q_s, t_s = get_pose(opt_q, opt_t, su)
+                else:                      # reference leaves w_T_last
+                    q_s, t_s = q_l, t_l    # uninitialized here ("HU") — we
+                                           # take the manager pose
+                qn, tn = nse3.pose_mul(q_s, t_s, qd, td)
+            else:
+                qn, tn = nse3.pose_mul(q_sw, t_sw, vq[u], vt[u])
+            opt_q[u] = nse3.quat_normalize(qn)
+            opt_t[u] = tn
+        elif not in_change and before:     # :1757-1768
+            if su == 0:
+                opt_q[u] = nse3.quat_normalize(vq[u].copy())
+                opt_t[u] = vt[u].copy()
+            # else: skip (keep previous solution)
+        else:                              # :1770-1789
+            if su_world == world_of_u:
+                q_l, t_l = vq[su].copy(), vt[su].copy()
+                qi, ti = nse3.pose_inv(q_l, t_l)
+                qd, td = nse3.pose_mul(qi, ti, vq[u], vt[u])
+                q_s, t_s = get_pose(opt_q, opt_t, su)
+                qn, tn = nse3.pose_mul(q_s, t_s, qd, td)
+            else:
+                qn, tn = nse3.pose_mul(q_sw, t_sw, vq[u], vt[u])
+            opt_q[u] = nse3.quat_normalize(qn)
+            opt_t[u] = tn
+    return opt_q, opt_t
+
+
+def test_initial_guess_table_fuzz_vs_literal_port():
+    """>=100 random kidnap/loop schedules (3+ worlds, merges, multi-hop
+    BFS inference): the vectorized 4-case table must equal the literal
+    per-node port bit-for-bit at every trigger."""
+    rng = np.random.default_rng(1234)
+    n_checked = 0
+    for trial in range(60):
+        store = GraphStore()
+        eng = SolverEngine(store, cfg64())
+
+        orig_guesses = eng._set_initial_guesses
+
+        def checked_guesses(node_len, node_worlds):
+            ql, tl = _initial_guesses_literal(eng, node_len, node_worlds)
+            orig_guesses(node_len, node_worlds)
+            np.testing.assert_array_equal(eng._opt_q[:node_len], ql)
+            np.testing.assert_array_equal(eng._opt_t[:node_len], tl)
+            nonlocal n_checked
+            n_checked += 1
+
+        eng._set_initial_guesses = checked_guesses
+
+        t = T0
+        kidnapped = False
+        i = 0
+        n_target = int(rng.integers(30, 80))
+        while i < n_target:
+            r = rng.random()
+            if r < 0.08 and i > 8 and not kidnapped:
+                store.kidnap_indicator(t, "kidnapped")
+                kidnapped = True
+                t += S
+                continue
+            if kidnapped and r < 0.5:
+                store.kidnap_indicator(t, "unkidnapped")
+                kidnapped = False
+                t += S
+                continue
+            yaw = rng.normal() * 0.2
+            store.add_node(t, yaw_quat(yaw),
+                           [float(i), rng.normal() * 0.2, 0.0])
+            if (not kidnapped and r > 0.85 and store.node_len > 10):
+                j = int(rng.integers(0, store.node_len - 5))
+                store.add_loop_edge(
+                    t, store.node_timestamp(j), nse3.quat_identity(),
+                    np.asarray(store.node_pose(store.node_len - 1)[1])
+                    - np.asarray(store.node_pose(j)[1]), 1.0)
+                eng.trigger()
+            t += S
+            i += 1
+    assert n_checked >= 100, n_checked

@@ -140,3 +140,44 @@ def test_block_gj_inv_matches_numpy(rng):
     np.testing.assert_allclose(np.asarray(block_gj_inv(A)), X0, atol=1e-10)
     np.testing.assert_allclose(
         np.asarray(gauss_jordan_inv(A, unroll=True)), X0, atol=1e-10)
+
+def test_sorted_loop_matvec_matches_scatter():
+    """The scatter-free (dest-sorted duplicated cumsum) loop matvec must
+    equal the scatter-add form on random vectors."""
+    import jax.numpy as jnp
+    from solve_keyframe_pose_graph_tpu.ops import gn as gn_ops
+
+    _, prob = build_circle_problem(n=120, n_loops=25, seed=13)
+    blocks = gn_ops.assemble_t(prob, prob.q, prob.t, prob.switch)
+    diag_n = blocks.D[jnp.arange(0, 36, 7)]
+    scale_n = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag_n, 0)))
+    scale_s = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(blocks.ds, 0)))
+    lm_n = jnp.clip(diag_n * scale_n**2, 1e-6, 1e32) / 1e4
+    lm_s = jnp.clip(blocks.ds * scale_s**2, 1e-6, 1e32) / 1e4
+    red = gn_ops.schur_reduce_t(blocks, prob, scale_n, scale_s, lm_n, lm_s)
+
+    inc = gn_ops.build_sorted_incidence(prob)
+    dup = gn_ops.dup_sorted_blocks(red, inc)
+    dup36 = gn_ops.dup_sorted_blocks36(red, inc)
+    np.testing.assert_allclose(
+        np.array(dup), np.array(jnp.moveaxis(dup36, 0, -1).reshape(-1, 6, 6)),
+        rtol=0, atol=0)
+    rng = np.random.default_rng(5)
+    for _ in range(5):
+        p = jnp.asarray(rng.normal(size=(6, prob.n_cap)))
+        ref = gn_ops.loop_matvec_t(red, prob, p)
+        got = gn_ops.loop_matvec_sorted(inc, dup, p)
+        np.testing.assert_allclose(np.array(got), np.array(ref),
+                                   rtol=1e-12, atol=1e-12)
+        got36 = gn_ops.loop_matvec_sorted36(inc, dup36, p)
+        np.testing.assert_allclose(np.array(got36), np.array(ref),
+                                   rtol=1e-12, atol=1e-12)
+        full_ref = gn_ops.reduced_matvec_t(red, prob, p)
+        full_new = gn_ops.reduced_matvec_t(red, prob, p, inc=inc,
+                                           blocks_dup=dup)
+        np.testing.assert_allclose(np.array(full_new), np.array(full_ref),
+                                   rtol=1e-12, atol=1e-12)
+        full_36 = gn_ops.reduced_matvec_t(red, prob, p, inc=inc,
+                                          blocks_dup=dup36)
+        np.testing.assert_allclose(np.array(full_36), np.array(full_ref),
+                                   rtol=1e-12, atol=1e-12)
