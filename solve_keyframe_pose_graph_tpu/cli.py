@@ -146,6 +146,7 @@ def cmd_solve(args):
     eng, cmp_ = _build_pipeline(store, cfg)
     t0 = time.perf_counter()
     fired = eng.trigger()
+    eng.drain()
     dt = (time.perf_counter() - t0) * 1e3
     if not fired:
         print("no solve fired (no loop edges / kidnapped)", file=sys.stderr)
@@ -212,6 +213,7 @@ def cmd_replay(args):
             n_solves += 1
             cmp_.assemble()
     eng.trigger()
+    eng.drain()          # barrier for async_dispatch mode
     wall = time.perf_counter() - t_start
     print(f"replayed {len(events)} events, {n_solves} solves, "
           f"{wall:.2f} s wall")

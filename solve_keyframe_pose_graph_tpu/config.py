@@ -101,6 +101,12 @@ class StreamConfig:
     trigger_poll_hz: float = 2.0        # reference: 0.5 Hz poll (:1257); we
                                         # poll faster since a no-op poll is free
     assembler_hz: float = 30.0          # Composer.cpp:10 (30 Hz)
+    # Overlap host problem-build with the in-flight device solve: trigger N
+    # dispatches asynchronously and is collected at the start of trigger
+    # N+1 (or by engine.drain()). Initial guesses for N+1 then read pre-N
+    # opt values — the same deliberate decoupling the reference uses for
+    # its lock-free read-during-solve (PoseGraphSLAM.cpp:1893-1902).
+    async_dispatch: bool = False
     find_index_tol_ns: int = 1_000_000  # 1 ms timestamp match tolerance
                                         # (NodeDataManager.cpp:286)
 

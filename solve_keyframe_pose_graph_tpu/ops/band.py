@@ -123,10 +123,21 @@ def bcr_factorize(A, C, group: int, max_levels: int | None = None
     (SPD-preserving), dropping band coupling beyond ~group*2^L nodes —
     scales where loop closures dominate anyway. Cuts both factorization and
     apply cost (each level is a serial round of small batched ops)."""
-    from solve_keyframe_pose_graph_tpu.ops.smallinv import gauss_jordan_inv
+    from solve_keyframe_pose_graph_tpu.ops.smallinv import (
+        block_gj_inv, gauss_jordan_inv,
+    )
 
     dt = A.dtype
     d = A.shape[-1]
+
+    def inv(M):
+        # blocked 6x6-pivot Gauss-Jordan when d allows: d/6 serial block
+        # steps instead of d scalar steps — the BCR factorization is bound
+        # by this serial chain (measured ~2x faster factorize at d=30)
+        if d % 6 == 0:
+            return block_gj_inv(M, b=6)
+        return gauss_jordan_inv(M)
+
     levels = []
     m = A.shape[0]
     n_pad = m * group
@@ -134,7 +145,7 @@ def bcr_factorize(A, C, group: int, max_levels: int | None = None
     while m > 1 and (max_levels is None or lvl < max_levels):
         Ae, Ao = A[0::2], A[1::2]
         Ce, Co = C[0::2], C[1::2]
-        Aoinv = gauss_jordan_inv(Ao)
+        Aoinv = inv(Ao)
         levels.append((Aoinv, Co, Ce))
 
         # shifted quantities for the j-1 terms (j = reduced index)
@@ -154,7 +165,7 @@ def bcr_factorize(A, C, group: int, max_levels: int | None = None
         m //= 2
         lvl += 1
     # coarse solve: exact root at m == 1, block-diagonal approx otherwise
-    root_inv = gauss_jordan_inv(A)
+    root_inv = inv(A)
     return BCRFactor(levels=tuple(levels), root_inv=root_inv, group=group,
                      n_pad=n_pad)
 

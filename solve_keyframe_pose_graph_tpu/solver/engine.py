@@ -85,6 +85,8 @@ class SolverEngine:
         # pre/post-solve mixes are not acceptable. The device solve itself
         # runs outside the lock (it works on an immutable snapshot).
         self.state_lock = threading.RLock()
+        # in-flight async solve (stream.async_dispatch): see trigger()
+        self._pending = None
 
     # ------------------------------------------------------------------
     # opt-variable access (PoseGraphSLAM.h:112-123 getters)
@@ -134,6 +136,9 @@ class SolverEngine:
     def trigger(self) -> bool:
         """One poll of the solver loop. Returns True if a solve ran."""
         store = self.store
+        # collect a previous async solve first: its write_back must land
+        # before this trigger's initial guesses read the opt state
+        self.collect()
         # snapshot order matters under concurrent ingest: nodes are appended
         # BEFORE the edges that reference them, so reading edge_len FIRST
         # guarantees every edge < edge_len has endpoints < node_len (the
@@ -232,13 +237,47 @@ class SolverEngine:
         with timer.phase("device_solve"):
             res = self._solve_device(node_len, edge_len, node_worlds,
                                      prior_idx, prior_q, prior_t, prior_w)
+            if self.config.stream.async_dispatch:
+                # overlapped pipeline: leave the solve in flight on the
+                # device (JAX dispatch is async); the host is free to ingest
+                # and compose. The result is collected at the START of the
+                # next trigger (or by drain()), so trigger N+1's problem
+                # build overlaps solve N's device time. Initial guesses for
+                # N+1 then read pre-N opt values — the same deliberate
+                # decoupling the reference justifies for its lock-free
+                # read-during-solve (PoseGraphSLAM.cpp:1893-1902).
+                self._pending = (res, node_len, edge_len, node_worlds,
+                                 self.trigger_id, _t_trigger0)
+                self.status = 3
+                return True
             # ONE device->host transfer for everything (each individual
             # fetch costs a full tunnel round trip)
             res = jax.device_get(res)
-        self.last_result = res
 
+        self._finish_solve(res, node_len, edge_len, node_worlds,
+                           self.trigger_id, _t_trigger0)
+        return True
+
+    def collect(self) -> bool:
+        """Collect an in-flight async solve (blocks until the device is
+        done). Returns True if one was pending."""
+        if self._pending is None:
+            return False
+        res, node_len, edge_len, node_worlds, tid, t0 = self._pending
+        self._pending = None
+        res = jax.device_get(res)
+        self._finish_solve(res, node_len, edge_len, node_worlds, tid, t0)
+        return True
+
+    # drain() is the checkpoint/shutdown barrier
+    drain = collect
+
+    def _finish_solve(self, res, node_len, edge_len, node_worlds, tid, t0
+                      ) -> None:
+        timer = self.timer
         # write back (under state_lock so a concurrent assemble() never sees
         # a half-updated pose set or a watermark ahead of the data)
+        self.last_result = res
         with timer.phase("write_back"), self.state_lock:
             q_new = np.asarray(res.q[:node_len], np.float64)
             t_new = np.asarray(res.t[:node_len], np.float64)
@@ -254,10 +293,10 @@ class SolverEngine:
         self.prev_edge_len = edge_len
         self.prev_node_len = node_len
         self.status = 3
-        timer.totals["trigger_total"] += time.perf_counter() - _t_trigger0
+        timer.totals["trigger_total"] += time.perf_counter() - t0
         timer.counts["trigger_total"] += 1
         self.solve_stats.append({
-            "trigger": self.trigger_id,
+            "trigger": tid,
             "node_len": node_len,
             "edge_len": edge_len,
             "initial_cost": float(res.initial_cost),
@@ -265,10 +304,9 @@ class SolverEngine:
             "lm_iterations": int(res.iterations),
             "successful_steps": int(res.successful_steps),
             "cg_iterations": int(res.total_cg_iterations),
-            "trigger_wall_ms": 1000.0 * (time.perf_counter() - _t_trigger0),
+            "trigger_wall_ms": 1000.0 * (time.perf_counter() - t0),
         })
         self.status = 0
-        return True
 
     def _set_initial_guesses(self, node_len: int, node_worlds: np.ndarray
                              ) -> None:
