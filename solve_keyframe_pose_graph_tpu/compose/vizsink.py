@@ -59,8 +59,21 @@ class TrajectoryWriter:
         self.color_by_set = color_by_set
         os.makedirs(out_dir, exist_ok=True)
 
-    def write(self, composer, tag: str = "final") -> str:
-        """Dump the current composed state. Returns the JSON path."""
+    def write_tick(self, composer, tick: int, tag: str = "live") -> str:
+        """Streaming-cadence dump: 90% of ticks emit only the NEWEST
+        world's strip, every 10th tick emits all worlds — the reference's
+        bf_traj publish economy (Composer.cpp:318-332)."""
+        if tick % 10 == 0:
+            return self.write(composer, tag=tag)
+        comp = composer.latest or composer.assemble()
+        only = ({int(comp.latest_pose_worldid)} if comp is not None
+                else None)
+        return self.write(composer, tag=tag, only_worlds=only)
+
+    def write(self, composer, tag: str = "final", only_worlds=None) -> str:
+        """Dump the current composed state. Returns the JSON path.
+        only_worlds: optional set of world ids to restrict the strips to
+        (the publish-economy path)."""
         comp = composer.assemble()
         store = composer.store
         worlds = store.worlds
@@ -68,6 +81,8 @@ class TrajectoryWriter:
         strips = []
         if comp is not None:
             for w in sorted(set(int(x) for x in comp.world_of)):
+                if only_worlds is not None and w not in only_worlds:
+                    continue
                 pts = comp.world_polyline(w)
                 if len(pts) == 0:
                     continue

@@ -104,14 +104,28 @@ class PoseGraphServer:
                                if self.engine.solve_stats else None),
             }
         if what == "trajectory":
-            comp = self.composer.assemble()
+            # incremental protocol: the client echoes the last reply's
+            # "version" plus "since_n"; while the version is unchanged (no
+            # solve landed and no world merged) the already-sent prefix is
+            # still valid and only nodes >= since_n are returned. On a
+            # version change the full trajectory is re-sent. Reads the
+            # assembler thread's snapshot — no per-query O(N) assemble.
+            comp = self.composer.latest
             if comp is None:
-                return {"n": 0}
+                comp = self.composer.assemble()
+            if comp is None:
+                return {"n": 0, "from": 0, "version": ""}
+            version = f"{len(self.engine.solve_stats)}:{self.store.n_worlds()}"
+            start = 0
+            if obj.get("version") == version:
+                start = max(0, min(int(obj.get("since_n", 0)), len(comp.t)))
             return {
                 "n": len(comp.t),
-                "t": np.asarray(comp.t).tolist(),
-                "q": np.asarray(comp.q).tolist(),
-                "world_of": np.asarray(comp.world_of).tolist(),
+                "from": start,
+                "version": version,
+                "t": np.asarray(comp.t[start:]).tolist(),
+                "q": np.asarray(comp.q[start:]).tolist(),
+                "world_of": np.asarray(comp.world_of[start:]).tolist(),
             }
         if what == "pose":
             # cheap: read the assembler thread's latest snapshot (assemble

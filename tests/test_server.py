@@ -129,3 +129,35 @@ def test_server_end_to_end(tmp_path):
     th.join(timeout=120)
     assert not th.is_alive()
     assert (tmp_path / "ckpt" / "solved_posegraph.json").exists()
+
+def test_incremental_trajectory_query():
+    """Version-gated delta protocol: same version -> only the suffix from
+    since_n; version change (new solve) -> full resend."""
+    from solve_keyframe_pose_graph_tpu.utils import nse3 as _n
+    store = GraphStore()
+    server = PoseGraphServer(store)
+    t0 = 1_000_000_000
+    for i in range(50):
+        store.add_node(t0 + i * 1_000_000_000, _n.quat_identity(),
+                       [float(i), 0, 0])
+    r1 = server._query({"what": "trajectory"})
+    assert r1["from"] == 0 and r1["n"] == 50 and len(r1["t"]) == 50
+    # more nodes, same version -> suffix only
+    for i in range(50, 60):
+        store.add_node(t0 + i * 1_000_000_000, _n.quat_identity(),
+                       [float(i), 0, 0])
+    server.composer.assemble()
+    r2 = server._query({"what": "trajectory", "version": r1["version"],
+                        "since_n": r1["n"]})
+    assert r2["version"] == r1["version"]
+    assert r2["from"] == 50 and r2["n"] == 60 and len(r2["t"]) == 10
+    # a solve bumps the version -> full resend
+    store.add_loop_edge(t0 + 59 * 1_000_000_000, t0,
+                        _n.quat_identity(), [59.0, 0, 0], 1.0)
+    server.engine.trigger()
+    server.engine.drain()
+    server.composer.assemble()
+    r3 = server._query({"what": "trajectory", "version": r2["version"],
+                        "since_n": r2["n"]})
+    assert r3["version"] != r2["version"]
+    assert r3["from"] == 0 and len(r3["t"]) == 60
