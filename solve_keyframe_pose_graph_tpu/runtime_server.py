@@ -137,6 +137,35 @@ class PoseGraphServer:
                 return {"ok": False}
             return {"ok": True, "idx": int(idx), "stamp_ns": int(stamp),
                     "q": list(map(float, q)), "t": list(map(float, t))}
+        if what == "path":
+            # the reference's path / adhoc detailed-path publishers
+            # (Composer.cpp:441-596, enabled via the adhoc_pubpath param,
+            # node.cpp:404-413): corrected poses in the IMU frame
+            # (w_T_imu = w_T_c * imu_T_cam^-1), dead-zone nodes skipped
+            comp = self.composer.latest
+            if comp is None:
+                comp = self.composer.assemble()
+            if comp is None:
+                return {"n": 0}
+            from solve_keyframe_pose_graph_tpu.utils import nse3 as _nse3
+            q_out = np.asarray(comp.q)
+            t_out = np.asarray(comp.t)
+            if (obj.get("frame", "imu") == "imu"
+                    and self.store.imu_T_cam_q is not None):
+                q_ci, t_ci = _nse3.pose_inv(self.store.imu_T_cam_q,
+                                            self.store.imu_T_cam_t)
+                n = len(t_out)
+                q_out, t_out = _nse3.pose_mul(
+                    q_out, t_out,
+                    np.broadcast_to(q_ci, (n, 4)),
+                    np.broadcast_to(t_ci, (n, 3)))
+            live = np.asarray(comp.world_of) >= 0
+            return {
+                "n": int(live.sum()),
+                "idx": np.nonzero(live)[0].tolist(),
+                "q": q_out[live].tolist(),
+                "t": t_out[live].tolist(),
+            }
         if what == "world_transform":
             # w0_T_w1-style query (the reference publishes world 0 -> world 1
             # on demand, Composer.cpp:601-644; here any known pair)

@@ -161,3 +161,24 @@ def test_incremental_trajectory_query():
                         "since_n": r2["n"]})
     assert r3["version"] != r2["version"]
     assert r3["from"] == 0 and len(r3["t"]) == 60
+
+def test_path_query_imu_frame():
+    from solve_keyframe_pose_graph_tpu.utils import nse3 as _n
+    store = GraphStore()
+    server = PoseGraphServer(store)
+    t0 = 1_000_000_000
+    q_ic = _n.quat_normalize(np.asarray([0.0, 0.0, 0.2, 1.0]))
+    t_ic = np.asarray([0.1, 0.0, 0.05])
+    store.set_extrinsic(q_ic, t_ic)
+    for i in range(10):
+        store.add_node(t0 + i * 1_000_000_000, _n.quat_identity(),
+                       [float(i), 0, 0])
+    r = server._query({"what": "path", "frame": "imu"})
+    assert r["n"] == 10
+    # w_T_imu = w_T_c * (imu_T_cam)^-1 for the identity-rotation poses
+    q_ci, t_ci = _n.pose_inv(q_ic, t_ic)
+    expect0 = np.asarray([0.0, 0, 0]) + t_ci
+    np.testing.assert_allclose(np.asarray(r["t"][0]), expect0, atol=1e-12)
+    r_cam = server._query({"what": "path", "frame": "camera"})
+    np.testing.assert_allclose(np.asarray(r_cam["t"][0]), [0, 0, 0],
+                               atol=1e-12)
