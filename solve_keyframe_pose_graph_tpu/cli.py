@@ -85,6 +85,11 @@ def _config_from_args(args) -> Config:
         cfg = dataclasses.replace(
             cfg, solver=dataclasses.replace(
                 cfg.solver, max_lm_iterations=args.max_iters))
+    if getattr(args, "async_dispatch", False):
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, stream=dataclasses.replace(
+                cfg.stream, async_dispatch=True))
     return cfg
 
 
@@ -316,6 +321,10 @@ def main(argv=None):
     p.add_argument("--viz-dir")
     p.add_argument("--native", action="store_true",
                    help="require the C++ store core (default: auto)")
+    p.add_argument("--async-dispatch", dest="async_dispatch",
+                   action="store_true",
+                   help="overlap the host problem-build with the in-flight "
+                        "device solve (stream.async_dispatch)")
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("serve", help="live ingest server (unix socket JSONL)")
@@ -328,6 +337,10 @@ def main(argv=None):
     p.add_argument("--warmup-nodes", type=int, default=0,
                    help="pre-compile solve programs up to this many nodes")
     p.add_argument("--warmup-edges", type=int, default=0)
+    p.add_argument("--async-dispatch", dest="async_dispatch",
+                   action="store_true",
+                   help="overlap the host problem-build with the in-flight "
+                        "device solve (stream.async_dispatch)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("ablate", help="per-edge chi^2 ablation")

@@ -699,6 +699,61 @@ def loop_matvec_sorted(inc: SortedIncidence, blocks_dup, p_n):
     return (hi - lo).T
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["perm_b", "bounds_b", "perm_a", "bounds_a"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class SortedIncidence2:
+    """Per-endpoint sorted incidence WITHOUT edge duplication: the v0
+    einsums stay untouched (they read the (Ec,6,6) blocks once) and only
+    the two scatter-adds become permute + cumsum + boundary-diff."""
+
+    perm_b: jax.Array     # (Ec,) argsort of loop_b
+    bounds_b: jax.Array   # (Nc+1,)
+    perm_a: jax.Array
+    bounds_a: jax.Array
+
+
+def build_sorted_incidence2(problem: Problem) -> SortedIncidence2:
+    def side(idx):
+        perm = jnp.argsort(idx, stable=True)
+        bounds = jnp.searchsorted(
+            idx[perm], jnp.arange(problem.n_cap + 1, dtype=idx.dtype))
+        return perm, bounds.astype(jnp.int32)
+    pb, bb = side(problem.loop_b)
+    pa, ba = side(problem.loop_a)
+    return SortedIncidence2(perm_b=pb, bounds_b=bb, perm_a=pa, bounds_a=ba)
+
+
+def _cumsum_segments(v, perm, bounds):
+    """sum of v rows per destination node: permute to dest-sorted order,
+    exclusive prefix sum, boundary differences (scatter-free)."""
+    vs = v[perm]
+    csum = jnp.concatenate(
+        [jnp.zeros((1, v.shape[1]), v.dtype), jnp.cumsum(vs, axis=0)],
+        axis=0)
+    hi = csum.at[bounds[1:]].get(indices_are_sorted=True)
+    lo = csum.at[bounds[:-1]].get(indices_are_sorted=True)
+    return hi - lo
+
+
+def loop_matvec_sorted2(inc: SortedIncidence2, red: ReducedSystemT,
+                        problem: Problem, p_n, Aba_aos=None):
+    """Loop matvec with v0's gathers/einsums but scatter-free reduction."""
+    if Aba_aos is None:
+        Aba_aos = t_blocks_to_aos(red.Aba_h)
+    pT = p_n.T
+    xb = pT[problem.loop_b]
+    xa = pT[problem.loop_a]
+    vb = jnp.einsum("eij,ej->ei", Aba_aos, xa)
+    va = jnp.einsum("eij,ei->ej", Aba_aos, xb)
+    yb = _cumsum_segments(vb, inc.perm_b, inc.bounds_b)
+    ya = _cumsum_segments(va, inc.perm_a, inc.bounds_a)
+    return (yb + ya).T
+
+
 def loop_matvec_t(red: ReducedSystemT, problem: Problem, p_n, Aba_aos=None):
     """Loop-edge rows of the reduced matvec (scatter-add fallback; the hot
     path uses loop_matvec_sorted).
@@ -734,7 +789,7 @@ def band_matvec_t(red: ReducedSystemT, problem: Problem, p_n):
 
 def reduced_matvec_t(red: ReducedSystemT, problem: Problem, p_n,
                      impl: str = "xla", Bup=None, Aba_aos=None,
-                     inc: SortedIncidence | None = None, blocks_dup=None):
+                     inc=None, blocks_dup=None):
     """y = H_red p, p (6, Nc) — the lane-parallel hot op of every CG iter.
 
     impl="pallas" runs the band part through the fused Pallas kernel
@@ -747,7 +802,9 @@ def reduced_matvec_t(red: ReducedSystemT, problem: Problem, p_n,
     blocks_dup = dup_sorted_blocks(red, inc) (per LM iteration) to take the
     scatter-free path (~1.8x faster CG iterations); otherwise falls back to
     the scatter-add form (optionally with Aba_aos hoisted)."""
-    if inc is not None:
+    if isinstance(inc, SortedIncidence2):
+        yl = loop_matvec_sorted2(inc, red, problem, p_n, Aba_aos)
+    elif inc is not None:
         if blocks_dup is None:
             blocks_dup = dup_sorted_blocks36(red, inc)
         if blocks_dup.ndim == 2:        # (36, 2Ec) entry-major

@@ -132,16 +132,21 @@ def lm_solve(
                                     # "xla" | "pallas"
     coarse_group: int = 32,         # nodes per coarse aggregate for the
                                     # two-level preconditioners
-    loop_impl: str = "scatter",     # "scatter" (at[].add) | "sorted" |
-                                    # "sorted36" (scatter-free cumsum
-                                    # forms). Measured IN-CONTEXT on the
-                                    # 5k/10k bench: scatter 225 ms/solve,
-                                    # sorted 245, sorted36 381 — the
-                                    # scatter-free forms win 1.8x in
-                                    # isolated fori_loop probes but LOSE
-                                    # inside the real nested while_loop
-                                    # (XLA materializes the padded
-                                    # intermediates); keep "scatter".
+    loop_impl: str = "sorted2",     # "sorted2" (per-endpoint permute +
+                                    # cumsum + boundary-diff; v0's cheap
+                                    # einsums untouched) | "scatter"
+                                    # (at[].add) | "sorted" | "sorted36"
+                                    # (duplicated-edge cumsum forms).
+                                    # Measured IN-CONTEXT on the 5k/10k
+                                    # bench: sorted2 190 ms/solve, scatter
+                                    # 221, sorted 245, sorted36 381. The
+                                    # duplicated forms win 1.8x in isolated
+                                    # fori_loop probes but LOSE in the real
+                                    # nested while_loop (padded (K,6,6)
+                                    # intermediates get materialized);
+                                    # sorted2 keeps the einsum operands
+                                    # identical to scatter and only
+                                    # replaces the two scatter-adds.
 ) -> LMResult:
     dt = problem.dtype
     f32 = lambda v: jnp.asarray(v, dt)
@@ -160,8 +165,12 @@ def lm_solve(
     cost0 = cost_fn(problem, q0, t0, s0)
     # dest-sorted duplicated loop incidence: once per solve, loop-invariant
     # (enables the scatter-free loop matvec — gn.loop_matvec_sorted)
-    inc = (gn_ops.build_sorted_incidence(problem)
-           if loop_impl in ("sorted", "sorted36") else None)
+    if loop_impl in ("sorted", "sorted36"):
+        inc = gn_ops.build_sorted_incidence(problem)
+    elif loop_impl == "sorted2":
+        inc = gn_ops.build_sorted_incidence2(problem)
+    else:
+        inc = None
 
     def make_precond(red, mv=None):
         """Preconditioner application for a ReducedSystemT ((6,Nc) vectors).
@@ -237,14 +246,15 @@ def lm_solve(
             Bup = pallas_band.shift_band_up(red.Bh)   # hoisted out of CG
         else:
             Bup = None
-        if inc is not None:
-            blocks_dup = (gn_ops.dup_sorted_blocks36(red, inc)
-                          if loop_impl == "sorted36"
-                          else gn_ops.dup_sorted_blocks(red, inc))  # hoisted
+        if loop_impl == "sorted36":
+            blocks_dup = gn_ops.dup_sorted_blocks36(red, inc)   # hoisted
             Aba_aos = None
-        else:
+        elif loop_impl == "sorted":
+            blocks_dup = gn_ops.dup_sorted_blocks(red, inc)     # hoisted
+            Aba_aos = None
+        else:   # scatter / sorted2 share v0's AoS einsum operands
             blocks_dup = None
-            Aba_aos = gn_ops.t_blocks_to_aos(red.Aba_h)      # hoisted
+            Aba_aos = gn_ops.t_blocks_to_aos(red.Aba_h)         # hoisted
         mv_red = lambda p: gn_ops.reduced_matvec_t(
             red, problem, p, impl=matvec_impl, Bup=Bup, Aba_aos=Aba_aos,
             inc=inc, blocks_dup=blocks_dup)

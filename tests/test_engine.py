@@ -322,3 +322,21 @@ def test_async_dispatch_pipeline_matches_sync():
     np.testing.assert_allclose(
         e_async._opt_t[:e_async.solved_until + 1],
         e_sync._opt_t[:e_sync.solved_until + 1], atol=1e-8)
+
+def test_capacity_ceiling_enforced():
+    """CapacityConfig.max_nodes/max_edges are hard ceilings at trigger time
+    (the reference's static 30k arrays, PoseGraphSLAM.cpp:17-25)."""
+    import dataclasses as dc
+    import pytest
+    from solve_keyframe_pose_graph_tpu.config import CapacityConfig
+
+    cfg = dc.replace(cfg64(), capacity=CapacityConfig(
+        initial_nodes=16, initial_edges=8, max_nodes=32, max_edges=32))
+    store = GraphStore()
+    eng = SolverEngine(store, cfg)
+    for i in range(40):
+        store.add_node(T0 + i * S, nse3.quat_identity(), [float(i), 0, 0])
+    store.add_loop_edge(T0 + 39 * S, T0, nse3.quat_identity(),
+                        [39.0, 0, 0], 1.0)
+    with pytest.raises(RuntimeError, match="capacity ceiling"):
+        eng.trigger()

@@ -181,3 +181,7 @@ def test_sorted_loop_matvec_matches_scatter():
                                           blocks_dup=dup36)
         np.testing.assert_allclose(np.array(full_36), np.array(full_ref),
                                    rtol=1e-12, atol=1e-12)
+        inc2 = gn_ops.build_sorted_incidence2(prob)
+        got2 = gn_ops.loop_matvec_sorted2(inc2, red, prob, p)
+        np.testing.assert_allclose(np.array(got2), np.array(ref),
+                                   rtol=1e-12, atol=1e-12)
