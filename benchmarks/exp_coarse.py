@@ -20,23 +20,32 @@ import numpy as np
 
 def build_graph(name):
     from solve_keyframe_pose_graph_tpu.graph import datasets, synthetic
+    from solve_keyframe_pose_graph_tpu.graph import g2o as g2o_io
     from solve_keyframe_pose_graph_tpu.solver.problem import build_problem_np
 
     if name == "bench":
         g = synthetic.circle_graph(n_nodes=5000, n_loops=10000, seed=0)
+        inp = {"vio_q": g.vio_q, "vio_t": g.vio_t,
+               "loop_pairs": g.loop_pairs, "loop_q": g.loop_q,
+               "loop_t": g.loop_t, "loop_w": g.loop_w}
         n_cap, e_cap = 8192, 16384
     else:
-        g = getattr(datasets, name)()
-        n_cap = 1 << int(np.ceil(np.log2(g.n_nodes)))
-        e_cap = 1 << int(np.ceil(np.log2(max(g.n_loops, 1))))
+        g = getattr(datasets, name)()          # a G2OGraph
+        inp = g2o_io.g2o_to_problem_inputs(g)
+        n_cap = 1 << int(np.ceil(np.log2(len(inp["vio_q"]))))
+        e_cap = 1 << int(np.ceil(np.log2(max(len(inp["loop_pairs"]), 1))))
+    n = len(inp["vio_q"])
+    e = len(inp["loop_pairs"])
     return build_problem_np(
-        q=g.vio_q, t=g.vio_t, vio_q=g.vio_q, vio_t=g.vio_t,
-        node_valid=np.ones(g.n_nodes, bool),
-        loop_pairs=g.loop_pairs, loop_q=g.loop_q, loop_t=g.loop_t,
-        loop_w=g.loop_w, loop_valid=np.ones(g.n_loops, bool),
-        switch=np.full(g.n_loops, 0.99),
-        prior_idx=np.array([0]), prior_q=g.vio_q[:1], prior_t=g.vio_t[:1],
-        prior_w=np.array([1.1]),
+        q=inp["vio_q"], t=inp["vio_t"],
+        vio_q=inp["vio_q"], vio_t=inp["vio_t"],
+        node_valid=np.ones(n, bool),
+        loop_pairs=inp["loop_pairs"], loop_q=inp["loop_q"],
+        loop_t=inp["loop_t"], loop_w=inp["loop_w"],
+        loop_valid=np.ones(e, bool),
+        switch=np.full(e, 0.99),
+        prior_idx=np.array([0]), prior_q=inp["vio_q"][:1],
+        prior_t=inp["vio_t"][:1], prior_w=np.array([1.1]),
         n_cap=n_cap, e_cap=e_cap, p_cap=8,
     )
 

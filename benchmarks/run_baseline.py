@@ -31,7 +31,12 @@ CHAIN = 4
 REPS = 3
 
 
-def measure_tpu_solve(problem, max_iterations=10):
+# CG forcing for the chi2-PARITY rows (<=2% of the fp64 exact-solve
+# reference on every benchmark graph; see benchmarks/exp_parity.py sweeps)
+PARITY_KW = dict(cg_tolerance=5e-3, max_cg_iterations=80)
+
+
+def measure_tpu_solve(problem, max_iterations=10, **lm_kw):
     """Per-solve device time via chained differencing (see bench.py)."""
     from solve_keyframe_pose_graph_tpu.ops import lm
 
@@ -42,7 +47,7 @@ def measure_tpu_solve(problem, max_iterations=10):
                 acc, shift = carry
                 p_i = dataclasses.replace(
                     p, t=p.t + (shift * 1e-9).astype(p.t.dtype))
-                r = lm.lm_solve(p_i, max_iterations=max_iterations)
+                r = lm.lm_solve(p_i, max_iterations=max_iterations, **lm_kw)
                 return acc + r.final_cost, r.final_cost
             acc, _ = jax.lax.fori_loop(
                 0, k, body, (jnp.float32(0.0), jnp.float32(0.0)))
@@ -63,11 +68,21 @@ def measure_tpu_solve(problem, max_iterations=10):
     ms = (float(np.median(tks)) - float(np.median(t1s))) / (CHAIN - 1) * 1e3
 
     from solve_keyframe_pose_graph_tpu.ops import lm as lm_mod
-    res = lm_mod.lm_solve(problem, max_iterations=max_iterations)
+    res = lm_mod.lm_solve(problem, max_iterations=max_iterations, **lm_kw)
     return {"tpu_ms": round(ms, 2), "tpu_chi2": float(res.final_cost),
             "initial_chi2": float(res.initial_cost),
             "lm_iterations": int(res.iterations),
             "cg_iterations": int(res.total_cg_iterations)}
+
+
+def measure_both_modes(problem, max_iterations=10):
+    """Default-quality row + chi2-parity row."""
+    row = measure_tpu_solve(problem, max_iterations)
+    par = measure_tpu_solve(problem, max_iterations, **PARITY_KW)
+    row.update({"tpu_parity_ms": par["tpu_ms"],
+                "tpu_parity_chi2": par["tpu_chi2"],
+                "parity_cg_iterations": par["cg_iterations"]})
+    return row
 
 
 def problem_from_inputs(inp, n, e, dtype=np.float32):
@@ -105,7 +120,7 @@ def bench_g2o_configs(results, run_cpu: bool):
         inp = g2o_io.g2o_to_problem_inputs(g)
         n, e = g.n_nodes, len(inp["loop_pairs"])
         prob = problem_from_inputs(inp, n, e)
-        row = measure_tpu_solve(prob)
+        row = measure_both_modes(prob)
         row.update({"nodes": n, "loops": e})
         results.setdefault(name, {}).update(row)
         print(name, json.dumps(results[name]))
@@ -113,7 +128,7 @@ def bench_g2o_configs(results, run_cpu: bool):
             out = subprocess.run(
                 [sys.executable,
                  os.path.join(ROOT, "benchmarks", "cpu_reference.py"),
-                 "--g2o", path],
+                 "--g2o", path, "--native-ldl"],
                 capture_output=True, text=True, timeout=3600)
             for line in out.stdout.splitlines():
                 if line.startswith("{"):
@@ -132,7 +147,7 @@ def bench_circle(results, run_cpu: bool):
     inp = {"vio_q": g.vio_q, "vio_t": g.vio_t, "loop_pairs": g.loop_pairs,
            "loop_q": g.loop_q, "loop_t": g.loop_t, "loop_w": g.loop_w}
     prob = problem_from_inputs(inp, g.n_nodes, g.n_loops)
-    row = measure_tpu_solve(prob)
+    row = measure_both_modes(prob)
     row.update({"nodes": g.n_nodes, "loops": g.n_loops})
     results.setdefault("circle_5k_10k", {}).update(row)
     print("circle_5k_10k", json.dumps(results["circle_5k_10k"]))
@@ -140,7 +155,7 @@ def bench_circle(results, run_cpu: bool):
         out = subprocess.run(
             [sys.executable,
              os.path.join(ROOT, "benchmarks", "cpu_reference.py"),
-             "--nodes", "5000", "--loops", "10000"],
+             "--nodes", "5000", "--loops", "10000", "--native-ldl"],
             capture_output=True, text=True, timeout=3600)
         for line in out.stdout.splitlines():
             if line.startswith("{"):
@@ -149,16 +164,20 @@ def bench_circle(results, run_cpu: bool):
                     "cpu_ms": round(d["wall_ms"], 1), "cpu_chi2": d["chi2"]})
 
 
-def bench_streaming(results):
-    """Config 5: incremental triggers through the full engine (host+device),
-    reporting steady-state trigger wall-clock."""
+def bench_streaming(results, async_dispatch: bool = False):
+    """Config 5: incremental triggers through the full engine (host+device).
+    Reports the HOST-BLOCKING wall per trigger call — with async_dispatch
+    the device solve overlaps the next build and the host only pays
+    collect + build + dispatch."""
+    from solve_keyframe_pose_graph_tpu.config import Config, StreamConfig
     from solve_keyframe_pose_graph_tpu.graph import synthetic
     from solve_keyframe_pose_graph_tpu.graph.store import GraphStore
     from solve_keyframe_pose_graph_tpu.solver.engine import SolverEngine
 
     g = synthetic.circle_graph(n_nodes=2000, n_loops=400, seed=1)
     store = GraphStore()
-    eng = SolverEngine(store)
+    cfg = Config(stream=StreamConfig(async_dispatch=async_dispatch))
+    eng = SolverEngine(store, cfg)
     t0 = 1_000_000_000
     dtn = 100_000_000
     edge_by_later = {}
@@ -172,17 +191,25 @@ def bench_streaming(results):
             a, b = map(int, g.loop_pairs[k])
             store.add_loop_edge(t0 + a * dtn, t0 + b * dtn,
                                 g.loop_q[k], g.loop_t[k], float(g.loop_w[k]))
-        if i % 50 == 0 and eng.trigger():
-            walls.append(eng.solve_stats[-1]["trigger_wall_ms"])
-    results.setdefault("streaming_2k_400", {}).update({
+        if i % 50 == 0:
+            tt = time.perf_counter()
+            fired = eng.trigger()
+            if fired:
+                walls.append((time.perf_counter() - tt) * 1e3)
+    eng.drain()
+    key = "streaming_2k_400" + ("_async" if async_dispatch else "")
+    results.setdefault(key, {}).update({
         "nodes": g.n_nodes, "loops": g.n_loops,
         "triggers": len(walls),
-        "trigger_ms_median": round(float(np.median(walls)), 1),
-        "trigger_ms_p90": round(float(np.percentile(walls, 90)), 1),
+        "async_dispatch": async_dispatch,
+        "trigger_host_ms_median": round(float(np.median(walls)), 1),
+        "trigger_host_ms_p90": round(float(np.percentile(walls, 90)), 1),
         "steady_state_ms_median": round(
             float(np.median(walls[len(walls) // 2:])), 1),
+        "final_chi2": (eng.solve_stats[-1]["final_cost"]
+                       if eng.solve_stats else None),
     })
-    print("streaming_2k_400", json.dumps(results["streaming_2k_400"]))
+    print(key, json.dumps(results[key]))
 
 
 def bench_multiworld(results):
@@ -247,6 +274,7 @@ def main():
             bench_g2o_configs(results, args.cpu)
         if not only or "streaming" in only:
             bench_streaming(results)
+            bench_streaming(results, async_dispatch=True)
         if not only or "multiworld" in only:
             bench_multiworld(results)
     finally:

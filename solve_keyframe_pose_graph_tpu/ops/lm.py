@@ -89,7 +89,7 @@ def _apply_step(q, t, s, dx_n, dx_s, node_mask, renormalize: bool):
         "max_iterations", "max_cg_iterations", "renormalize", "preconditioner",
         "freeze_preconditioner", "residual_mode", "use_switch",
         "bcr_levels", "outer_unroll", "matvec_impl", "coarse_group",
-        "loop_impl",
+        "loop_impl", "cg_q_tolerance",
     ),
 )
 def lm_solve(

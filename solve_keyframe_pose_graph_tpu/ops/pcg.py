@@ -54,6 +54,9 @@ def pcg_nodes(
     dt = b.dtype
     b_norm = jnp.sqrt(jnp.vdot(b, b))
     threshold = r_tolerance * b_norm
+    # trace-time gate: with the Q rule off (a plain-0 python float) skip its
+    # per-iteration vdot entirely instead of computing a dead zeta
+    use_q = not (isinstance(q_tolerance, (int, float)) and q_tolerance == 0)
 
     if x0 is None:
         x = jnp.zeros_like(b)
@@ -84,9 +87,15 @@ def pcg_nodes(
         p = z + beta * p
 
         k = k + 1
-        Q1 = -0.5 * jnp.vdot(x, b + r)
-        zeta = k.astype(dt) * (Q1 - Q0) / jnp.where(Q1 == 0, jnp.asarray(1.0, dt), Q1)
-        q_done = jnp.logical_and(q_tolerance > 0, jnp.abs(zeta) < q_tolerance)
+        if use_q:
+            Q1 = -0.5 * jnp.vdot(x, b + r)
+            zeta = (k.astype(dt) * (Q1 - Q0)
+                    / jnp.where(Q1 == 0, jnp.asarray(1.0, dt), Q1))
+            q_done = jnp.logical_and(q_tolerance > 0,
+                                     jnp.abs(zeta) < q_tolerance)
+        else:
+            Q1 = Q0
+            q_done = jnp.asarray(False)
         r_done = jnp.sqrt(jnp.vdot(r, r)) <= threshold
         breakdown = pAp <= 0
         done = jnp.logical_or(jnp.logical_or(q_done, r_done), breakdown)
