@@ -99,8 +99,14 @@ def main():
     ap.add_argument("--variants",
                     default="loop_impl=scatter,loop_impl=sorted")
     ap.add_argument("--direct", action="store_true")
+    ap.add_argument("--graph", default="bench",
+                    help="bench|sphere|manhattan|torus")
     args = ap.parse_args()
-    prob, _ = bench.build()
+    if args.graph == "bench":
+        prob, _ = bench.build()
+    else:
+        from benchmarks.exp_coarse import build_graph
+        prob = build_graph(args.graph)
     rtt = 0.0
     if args.direct:
         import jax.numpy as jnp

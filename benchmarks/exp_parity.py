@@ -60,7 +60,14 @@ def main():
     ap.add_argument("--graphs", default="bench,sphere,manhattan,torus")
     ap.add_argument("--variants",
                     default="1e-2:60,3e-3:100,3e-3:150,1e-3:200")
+    ap.add_argument("--refs", default="",
+                    help="precomputed fp64 refs: name=chi2,name=chi2 "
+                         "(skips the CPU subprocesses)")
     args = ap.parse_args()
+    for kv in args.refs.split(","):
+        if kv:
+            k, v = kv.split("=")
+            REF[k] = float(v)
 
     triv = jax.jit(lambda e: e + 1.0)
     float(triv(jnp.float32(0.0)))

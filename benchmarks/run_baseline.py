@@ -31,9 +31,22 @@ CHAIN = 4
 REPS = 3
 
 
-# CG forcing for the chi2-PARITY rows (<=2% of the fp64 exact-solve
-# reference on every benchmark graph; see benchmarks/exp_parity.py sweeps)
+# CG forcing + preconditioner for the chi2-PARITY rows (chi2 within ~2% of
+# — or better than — the fp64 exact-solve 10-iteration reference; tuned per
+# graph via benchmarks/exp_parity.py + exp_ab_solve.py sweeps on the chip).
+# manhattan is the structurally hardest (grid with few loops): the band-only
+# preconditioner leaves CG unconverged even at cap 300, while the two-level
+# band+coarse grid solves it outright (chi2 1.15 vs the fp64 reference's
+# 2.34 at the same 10-iteration cap).
 PARITY_KW = dict(cg_tolerance=5e-3, max_cg_iterations=80)
+COARSE_PARITY = dict(cg_tolerance=3e-3, max_cg_iterations=100,
+                     preconditioner="band+coarse", coarse_group=32)
+PARITY_KW_BY_GRAPH = {
+    "circle_5k_10k": dict(cg_tolerance=5e-3, max_cg_iterations=80),
+    "sphere2500-analog": COARSE_PARITY,
+    "manhattan3500-analog": COARSE_PARITY,
+    "torus-analog": COARSE_PARITY,
+}
 
 
 def measure_tpu_solve(problem, max_iterations=10, **lm_kw):
@@ -75,13 +88,15 @@ def measure_tpu_solve(problem, max_iterations=10, **lm_kw):
             "cg_iterations": int(res.total_cg_iterations)}
 
 
-def measure_both_modes(problem, max_iterations=10):
-    """Default-quality row + chi2-parity row."""
+def measure_both_modes(problem, max_iterations=10, name=""):
+    """Default-quality row + chi2-parity row (per-graph parity config)."""
     row = measure_tpu_solve(problem, max_iterations)
-    par = measure_tpu_solve(problem, max_iterations, **PARITY_KW)
+    kw = PARITY_KW_BY_GRAPH.get(name, PARITY_KW)
+    par = measure_tpu_solve(problem, max_iterations, **kw)
     row.update({"tpu_parity_ms": par["tpu_ms"],
                 "tpu_parity_chi2": par["tpu_chi2"],
-                "parity_cg_iterations": par["cg_iterations"]})
+                "parity_cg_iterations": par["cg_iterations"],
+                "parity_config": {k: v for k, v in kw.items()}})
     return row
 
 
@@ -120,7 +135,7 @@ def bench_g2o_configs(results, run_cpu: bool):
         inp = g2o_io.g2o_to_problem_inputs(g)
         n, e = g.n_nodes, len(inp["loop_pairs"])
         prob = problem_from_inputs(inp, n, e)
-        row = measure_both_modes(prob)
+        row = measure_both_modes(prob, name=name)
         row.update({"nodes": n, "loops": e})
         results.setdefault(name, {}).update(row)
         print(name, json.dumps(results[name]))
@@ -147,7 +162,7 @@ def bench_circle(results, run_cpu: bool):
     inp = {"vio_q": g.vio_q, "vio_t": g.vio_t, "loop_pairs": g.loop_pairs,
            "loop_q": g.loop_q, "loop_t": g.loop_t, "loop_w": g.loop_w}
     prob = problem_from_inputs(inp, g.n_nodes, g.n_loops)
-    row = measure_both_modes(prob)
+    row = measure_both_modes(prob, name="circle_5k_10k")
     row.update({"nodes": g.n_nodes, "loops": g.n_loops})
     results.setdefault("circle_5k_10k", {}).update(row)
     print("circle_5k_10k", json.dumps(results["circle_5k_10k"]))
