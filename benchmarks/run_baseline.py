@@ -121,13 +121,15 @@ def problem_from_inputs(inp, n, e, dtype=np.float32):
     )
 
 
-def bench_g2o_configs(results, run_cpu: bool):
+def bench_g2o_configs(results, run_cpu: bool, graphs=None):
     from solve_keyframe_pose_graph_tpu.graph import datasets
     from solve_keyframe_pose_graph_tpu.graph import g2o as g2o_io
 
     gdir = os.path.join(ROOT, "benchmarks", "graphs")
     os.makedirs(gdir, exist_ok=True)
     for name, fn in datasets.DATASETS.items():
+        if graphs and not any(g in name for g in graphs):
+            continue
         g = fn()
         path = os.path.join(gdir, f"{name}.g2o")
         if not os.path.exists(path):
@@ -285,10 +287,15 @@ def main():
     try:
         if not only or "circle" in only:
             bench_circle(results, args.cpu)
-        if not only or "g2o" in only:
-            bench_g2o_configs(results, args.cpu)
+        if (not only or "g2o" in only
+                or any(t.startswith("g2o:") for t in only)):
+            # allow per-graph chunks: --only g2o:sphere
+            graphs = [t.split(":", 1)[1] for t in only
+                      if t.startswith("g2o:")] or None
+            bench_g2o_configs(results, args.cpu, graphs)
         if not only or "streaming" in only:
             bench_streaming(results)
+        if not only or "streaming_async" in only:
             bench_streaming(results, async_dispatch=True)
         if not only or "multiworld" in only:
             bench_multiworld(results)
