@@ -39,8 +39,9 @@ def ref_chi2(graph: str) -> float:
         args += ["--nodes", "5000", "--loops", "10000"]
     else:
         from solve_keyframe_pose_graph_tpu.graph import datasets, g2o as g2o_io
-        path = os.path.join(ROOT, "benchmarks", "graphs",
-                            f"{graph}-analog.g2o")
+        fname = {"sphere": "sphere2500-analog", "manhattan":
+                 "manhattan3500-analog", "torus": "torus-analog"}[graph]
+        path = os.path.join(ROOT, "benchmarks", "graphs", f"{fname}.g2o")
         if not os.path.exists(path):
             g2o_io.save_g2o(path, getattr(datasets, graph)())
         args += ["--g2o", path]

@@ -98,7 +98,10 @@ def _maybe_viz(args, cmp_, tag):
         from solve_keyframe_pose_graph_tpu.compose.vizsink import (
             TrajectoryWriter,
         )
-        path = TrajectoryWriter(args.viz_dir).write(cmp_, tag)
+        writer = TrajectoryWriter(
+            args.viz_dir,
+            color_by_set=getattr(args, "viz_color_by_set", False))
+        path = writer.write(cmp_, tag)
         print(f"viz -> {path}")
 
 
@@ -307,6 +310,9 @@ def main(argv=None):
     p.add_argument("--config", help="Config JSON file")
     p.add_argument("--max-iters", type=int)
     p.add_argument("--viz-dir")
+    p.add_argument("--viz-color-by-set", action="store_true",
+                   help="color trajectory strips by setID instead of "
+                        "worldID (Composer.cpp:285)")
     p.set_defaults(fn=cmd_solve)
 
     p = sub.add_parser("replay", help="streaming replay of recorded events")
@@ -319,6 +325,9 @@ def main(argv=None):
     p.add_argument("--save-dir", help="checkpoint on exit (saveStateToDisk)")
     p.add_argument("--load-dir", help="restore at start (loadStateFromDisk)")
     p.add_argument("--viz-dir")
+    p.add_argument("--viz-color-by-set", action="store_true",
+                   help="color trajectory strips by setID instead of "
+                        "worldID (Composer.cpp:285)")
     p.add_argument("--native", action="store_true",
                    help="require the C++ store core (default: auto)")
     p.add_argument("--async-dispatch", dest="async_dispatch",
