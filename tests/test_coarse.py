@@ -110,3 +110,25 @@ def test_lm_two_level_matches_band_quality():
                                       np.array(prob.q)[nm])
         np.testing.assert_array_equal(np.array(res_2l.t)[nm],
                                       np.array(prob.t)[nm])
+
+
+def test_coarse_inverse_is_accurate_in_fp32():
+    """The Newton-refined coarse inverse must satisfy ||X Hc - I|| << 1
+    even in fp32 — the raw fp32 triangular-solve inverse measured ~4.5e-2
+    residual at scale on TPU, which broke the preconditioner's effective
+    positive-definiteness (see BASELINE.md numerics note)."""
+    import jax
+
+    _, prob64 = build_circle_problem(n=500, n_loops=60, seed=2)
+    # fp32 copy of the reduced system
+    red64 = _reduced(prob64)
+    red32 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, red64)
+    group = 8
+    Hc_inv32 = coarse_ops.build_coarse_inverse(red32, prob64, group)
+    # fp64 ground-truth operator from the fp64 blocks
+    Hc_inv64 = coarse_ops.build_coarse_inverse(red64, prob64, group)
+    H64 = np.linalg.inv(np.asarray(Hc_inv64))
+    R = np.asarray(Hc_inv32, np.float64) @ H64 - np.eye(H64.shape[0])
+    assert np.abs(R).max() < 1e-3, np.abs(R).max()
