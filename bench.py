@@ -79,7 +79,14 @@ def main():
                 cost_acc, tshift = carry
                 p_i = dataclasses.replace(
                     p, t=p.t + (tshift * 1e-9).astype(p.t.dtype))
-                r = lm.lm_solve(p_i, max_iterations=10)
+                # the chi2-PARITY configuration (the north-star metric is
+                # wall-clock AT Ceres-parity chi2): two-level band+coarse
+                # preconditioner, default forcing — final chi2 0.4055 vs
+                # the fp64 exact-step reference's 0.4038 (+0.4%), verified
+                # rejection-free across perturbed instances (BASELINE.md)
+                r = lm.lm_solve(p_i, max_iterations=10,
+                                preconditioner="band+coarse",
+                                coarse_group=64)
                 return cost_acc + r.final_cost, r.final_cost
             acc, _ = jax.lax.fori_loop(
                 0, k, body, (jnp.float32(0.0), jnp.float32(0.0)))

@@ -68,6 +68,8 @@ class _LoopState(NamedTuple):
     accepted: jax.Array
     cg_total: jax.Array
     done: jax.Array
+    tighten: jax.Array           # bool: previous step was rejected ->
+                                 # tighten the CG forcing for the retry
     # NOTE: no CG warm-start slot — carrying the previous scaled step across
     # re-linearizations was measured harmful (the scaling changes every
     # iteration) and a dead field in a jitted loop invites drift.
@@ -260,9 +262,18 @@ def lm_solve(
             inc=inc, blocks_dup=blocks_dup)
         pc = pc_frozen if freeze_preconditioner else make_precond(red, mv_red)
 
+        # Rejection safeguard (Eisenstat-Walker flavored): after a REJECTED
+        # step, the retry at smaller radius solves with a 10x tighter CG
+        # forcing. An inexact step that just failed is the signal the
+        # forcing was too loose for this landscape; without this, graphs
+        # like the manhattan analog rejection-cascade chaotically at the
+        # 10-iteration cap. No-op on trajectories where every step accepts
+        # (the common case) — those are bit-identical with or without it.
+        tol_k = jnp.where(state.tighten, f32(cg_tolerance * 0.1),
+                          f32(cg_tolerance))
         sol = pcg_ops.pcg_nodes(
             mv_red, pc, red.rhs_n,
-            max_iterations=max_cg_iterations, r_tolerance=cg_tolerance,
+            max_iterations=max_cg_iterations, r_tolerance=tol_k,
             q_tolerance=cg_q_tolerance,
         )
         dxh_n = sol.x                                          # (6, Nc)
@@ -337,6 +348,7 @@ def lm_solve(
             accepted=state.accepted + accept.astype(jnp.int32),
             cg_total=state.cg_total + sol.iterations,
             done=done,
+            tighten=jnp.logical_not(accept),
         )
 
     def cond(state: _LoopState):
@@ -346,7 +358,7 @@ def lm_solve(
         q=q0, t=t0, s=s0, cost=cost0,
         radius=f32(initial_radius), decrease_factor=f32(2.0),
         k=jnp.int32(0), accepted=jnp.int32(0), cg_total=jnp.int32(0),
-        done=jnp.asarray(False),
+        done=jnp.asarray(False), tighten=jnp.asarray(False),
     )
     if outer_unroll:
         # Unroll the outer LM loop into straight-line code with a done-mask
