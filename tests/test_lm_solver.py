@@ -185,3 +185,19 @@ def test_sorted_loop_matvec_matches_scatter():
         got2 = gn_ops.loop_matvec_sorted2(inc2, red, prob, p)
         np.testing.assert_allclose(np.array(got2), np.array(ref),
                                    rtol=1e-12, atol=1e-12)
+
+def test_four_dof_mode_end_to_end():
+    """residual_mode='4dof' (the reference's yaw-weighted Euler family,
+    CeresResidues.h:252-422) must drive a full LM solve: large cost
+    reduction and a usable trajectory on the circle graph."""
+    from solve_keyframe_pose_graph_tpu.ops import lm as lm_ops
+
+    g, prob = build_circle_problem(n=150, n_loops=25, seed=9)
+    res = lm_ops.lm_solve(prob, max_iterations=10, residual_mode="4dof")
+    assert float(res.final_cost) < 0.01 * float(res.initial_cost)
+    n = g.n_nodes
+    ate_before = synthetic.ate_rmse(g.vio_q, g.vio_t, g.gt_q, g.gt_t)
+    q_est = np.asarray(res.q)[:n]
+    t_est = np.asarray(res.t)[:n]
+    ate_after = synthetic.ate_rmse(q_est, t_est, g.gt_q, g.gt_t)
+    assert ate_after < 0.7 * ate_before
