@@ -150,3 +150,29 @@ def test_sharded_solve_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(res0.t), np.asarray(res1.t), atol=1e-2,
     )
+
+
+def test_sharded_two_level_preconditioner_matches_single_device():
+    """The band+coarse two-level preconditioner under GSPMD sharding must
+    compile and agree with the unsharded solve (the coarse grid's
+    restriction/prolongation + dense coarse factorization are partitioned
+    automatically)."""
+    from solve_keyframe_pose_graph_tpu.ops import lm
+    from solve_keyframe_pose_graph_tpu.parallel import make_mesh, shard_problem
+    import __graft_entry__ as ge
+
+    prob = ge._make_problem(n_nodes=128, n_loops=16, n_cap=128, e_cap=16)
+    kw = dict(max_iterations=3, max_cg_iterations=10,
+              preconditioner="band+coarse", coarse_group=16)
+    res0 = lm.lm_solve(prob, **kw)
+
+    mesh = make_mesh(8)
+    prob_sh = shard_problem(prob, mesh)
+    res1 = lm.lm_solve(prob_sh, **kw)
+    # fp32 + partitioned cholesky/refinement: reduction order diverges more
+    # than the band path; this is a compile+agreement check (the tight fp64
+    # parity certification is __graft_entry__.dryrun_multichip)
+    np.testing.assert_allclose(
+        np.asarray(res0.final_cost), np.asarray(res1.final_cost), rtol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(res0.t), np.asarray(res1.t), atol=5e-2)
