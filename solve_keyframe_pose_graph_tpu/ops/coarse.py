@@ -30,8 +30,15 @@ or as a symmetrized multiplicative two-grid ("band*coarse"):
 Both are SPD on the free subspace (prolongation is masked by free_mask so
 frozen/padded nodes never receive updates). The additive form costs one
 extra matvec-free apply per CG iteration; the multiplicative form costs two
-extra full matvecs but contracts more per iteration — which wins is
-measured on the benchmark graphs (see BASELINE.md).
+extra full matvecs but contracts more per iteration.
+
+Measured outcome (BASELINE.md): the additive form with 64-node aggregates at
+the DEFAULT CG forcing is the chi^2-parity configuration — +0.4% of the fp64
+exact-step reference on the 5k/10k benchmark at essentially band-only cost,
++1.8% on sphere, +0.35% on torus, and it rescues manhattan outright (whose
+band-only CG never converges even at 3x the iteration cap). Stability is
+empirical: coarse_group=32 needs tighter forcing (3e-3) on loop-dense
+graphs and tolerances looser than 2e-2 are rejection-chaotic.
 """
 
 from __future__ import annotations

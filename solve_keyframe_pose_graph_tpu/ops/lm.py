@@ -16,10 +16,14 @@ lands at a comparable chi^2:
   * convergence: |cost_change| <= function_tolerance * cost, or
     step_norm <= parameter_tolerance * (x_norm + parameter_tolerance)
 
-The inner solve is block-Jacobi-preconditioned CG (ops/pcg.py) on the
-structured GN blocks (ops/gn.py) rather than a sparse Cholesky — iterative
-linear algebra is the TPU-native choice; the trust region is robust to the
-inexact solve.
+The inner solve is preconditioned CG (ops/pcg.py) on the structured GN
+blocks (ops/gn.py) rather than a sparse Cholesky — iterative linear algebra
+is the TPU-native choice. Preconditioners: band BCR (ops/band.py, default),
+two-level band+coarse (ops/coarse.py — the chi^2-parity configuration, see
+BASELINE.md), block-Jacobi. Two guards make the trust region robust to the
+inexact solve: a rejection safeguard (a rejected step's retry solves CG
+with 10x tighter forcing — a no-op when every step accepts) and the
+model-cost computation from exact CG-recurrence quantities.
 """
 
 from __future__ import annotations
