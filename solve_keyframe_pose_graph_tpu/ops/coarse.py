@@ -64,8 +64,17 @@ def build_coarse_inverse(red: "gn_ops.ReducedSystemT", problem: Problem,
     couplings) makes frozen/padded nodes contribute +I to their segment's
     diagonal block — inert, since the prolongation masks them out.
     """
-    dt = red.Dh.dtype
-    Nc = red.Dh.shape[-1]
+    return build_coarse_inverse_arrays(
+        red.Dh, red.Bh, red.Aba_h, problem.loop_b, problem.loop_a,
+        problem.fanout, group)
+
+
+def build_coarse_inverse_arrays(Dh, Bh, Aba_h, loop_b, loop_a,
+                                fanout: int, group: int) -> jax.Array:
+    """Raw-array core of build_coarse_inverse (also used by the explicitly
+    sharded path, which has no Problem object)."""
+    dt = Dh.dtype
+    Nc = Dh.shape[-1]
     c = int(group)
     M = -(-Nc // c)
     u = jnp.arange(Nc)
@@ -73,18 +82,18 @@ def build_coarse_inverse(red: "gn_ops.ReducedSystemT", problem: Problem,
 
     perm = jnp.asarray(_T36, jnp.int32)
     Hc = jnp.zeros((M * M, 36), dt)
-    Hc = Hc.at[seg * M + seg].add(red.Dh.T)
-    for f in range(problem.fanout):
+    Hc = Hc.at[seg * M + seg].add(Dh.T)
+    for f in range(fanout):
         # Bh[f][:, u] couples node u (rows) with node u-f-1 (cols); the
         # first f+1 lanes are zero blocks, so their clipped segment index
         # contributes nothing
         sl = jnp.maximum(u - (f + 1), 0) // c
-        BT = red.Bh[f].T                                # (Nc, 36)
+        BT = Bh[f].T                                    # (Nc, 36)
         Hc = Hc.at[seg * M + sl].add(BT)
         Hc = Hc.at[sl * M + seg].add(BT[:, perm])
-    sb = seg[problem.loop_b]
-    sa = seg[problem.loop_a]
-    AT = red.Aba_h.T                                    # (Ec, 36)
+    sb = seg[loop_b]
+    sa = seg[loop_a]
+    AT = Aba_h.T                                        # (Ec, 36)
     Hc = Hc.at[sb * M + sa].add(AT)
     Hc = Hc.at[sa * M + sb].add(AT[:, perm])
 

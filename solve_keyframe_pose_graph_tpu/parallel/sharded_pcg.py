@@ -81,19 +81,45 @@ def _band_matvec_local(Dh, Blo, Bup, x_ext, F, nl):
 
 @partial(jax.jit,
          static_argnames=("mesh", "axis_name", "max_iterations",
-                          "r_tolerance", "fanout"))
+                          "r_tolerance", "fanout", "coarse_group"))
 def pcg_sharded(Dh, Bh, Aba_h, loop_b, loop_a, rhs, *, mesh: Mesh,
                 axis_name: str = "graph", max_iterations: int = 100,
-                r_tolerance: float = 1e-7, fanout: int = 5):
+                r_tolerance: float = 1e-7, fanout: int = 5,
+                coarse_group: int = 0, free_mask=None):
     """Solve H_red x = rhs with CG over the mesh.
 
     Dh (36, Nc), Bh (F, 36, Nc), Aba_h (36, Ec), loop_b/a (Ec,), rhs (6, Nc)
     are GLOBAL arrays; this function shards them (nodes/lanes and edges) and
     runs the explicitly-collective CG. Returns the global solution (6, Nc).
+
+    coarse_group > 0 adds the loop-aware coarse level (ops/coarse.py) to the
+    per-shard band preconditioner: the coarse operator's inverse (6M x 6M,
+    tiny) is built once from the GLOBAL blocks and replicated; per CG
+    iteration each shard restricts its local residual (a segment sum —
+    coarse_group must divide the shard width so segments never straddle
+    shards), a psum assembles the global coarse residual, and every shard
+    redundantly applies the small dense inverse and prolongates its own
+    slice. One psum of 6M floats per application — the cheap-collective
+    analog of the single-chip additive two-level scheme.
+    free_mask (Nc,) optionally zeroes the prolongation on frozen/padded
+    nodes (defaults to all-free).
     """
     F = fanout
     Nc = rhs.shape[-1]
     Bup = pallas_band.shift_band_up(Bh)
+
+    Hc_inv = None
+    if coarse_group:
+        from solve_keyframe_pose_graph_tpu.ops import coarse as coarse_ops
+        n_dev = mesh.devices.size
+        nl_ = Nc // n_dev
+        assert nl_ % coarse_group == 0, (
+            "coarse_group must divide the per-shard node width "
+            f"({nl_} % {coarse_group})")
+        Hc_inv = coarse_ops.build_coarse_inverse_arrays(
+            Dh, Bh, Aba_h, loop_b, loop_a, F, coarse_group)
+    if free_mask is None:
+        free_mask = jnp.ones((Nc,), rhs.dtype)
 
     node = NamedSharding(mesh, P(None, axis_name))
     band = NamedSharding(mesh, P(None, None, axis_name))
@@ -114,10 +140,11 @@ def pcg_sharded(Dh, Bh, Aba_h, loop_b, loop_a, rhs, *, mesh: Mesh,
         shard_map, mesh=mesh,
         in_specs=(P(None, axis_name), P(None, None, axis_name),
                   P(None, None, axis_name), P(None, axis_name),
-                  P(axis_name), P(axis_name), P(None, axis_name)),
+                  P(axis_name), P(axis_name), P(None, axis_name),
+                  P(None, None), P(axis_name)),
         out_specs=P(None, axis_name),
     )
-    def run(Dh_l, Blo_l, Bup_l, Aba_l, lb_l, la_l, rhs_l):
+    def run(Dh_l, Blo_l, Bup_l, Aba_l, lb_l, la_l, rhs_l, Hc_inv_r, free_l):
         nl = rhs_l.shape[-1]
         idx = jax.lax.axis_index(axis_name)
         base = idx * nl                        # global offset of local nodes
@@ -130,8 +157,29 @@ def pcg_sharded(Dh, Bh, Aba_h, loop_b, loop_a, rhs, *, mesh: Mesh,
                                                        group=F)
         fac = band_ops.bcr_factorize(A_band, C_band, group=F)
 
-        def precond(r):
-            return band_ops.band_precond_apply(fac, r.T).T
+        if coarse_group:
+            c = coarse_group
+            Ml = nl // c                       # local segments
+            Mg = Hc_inv_r.shape[0] // 6        # global segments
+
+            def coarse(r):
+                # restrict locally, psum the global coarse residual
+                rc_l = r.T.reshape(Ml, c, 6).sum(axis=1)      # (Ml, 6)
+                rc = jnp.zeros((Mg, 6), r.dtype)
+                rc = jax.lax.dynamic_update_slice_in_dim(
+                    rc, rc_l, idx * Ml, axis=0)
+                rc = jax.lax.psum(rc, axis_name)
+                y = (Hc_inv_r @ rc.reshape(Mg * 6)).reshape(Mg, 6)
+                # prolongate own slice only, masked on frozen/padded nodes
+                y_l = jax.lax.dynamic_slice_in_dim(y, idx * Ml, Ml, axis=0)
+                x = jnp.broadcast_to(y_l[:, None, :], (Ml, c, 6))
+                return x.reshape(nl, 6).T * free_l[None, :]
+
+            def precond(r):
+                return band_ops.band_precond_apply(fac, r.T).T + coarse(r)
+        else:
+            def precond(r):
+                return band_ops.band_precond_apply(fac, r.T).T
 
         def matvec(x_l):
             lh = _left_halo(x_l, F, axis_name)
@@ -193,4 +241,6 @@ def pcg_sharded(Dh, Bh, Aba_h, loop_b, loop_a, rhs, *, mesh: Mesh,
             cond, body, (x, r, p, rz, jnp.int32(0)))
         return x
 
-    return run(Dh, Bh, Bup, Aba_h, loop_b, loop_a, rhs)
+    if Hc_inv is None:
+        Hc_inv = jnp.zeros((6, 6), rhs.dtype)   # placeholder, never applied
+    return run(Dh, Bh, Bup, Aba_h, loop_b, loop_a, rhs, Hc_inv, free_mask)

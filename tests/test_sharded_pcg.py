@@ -61,3 +61,21 @@ def test_sharded_pcg_matches_single_device():
     # differ at ~1e-3 absolute)
     np.testing.assert_allclose(np.asarray(x_sh), np.asarray(sol.x),
                                atol=5e-3)
+
+
+def test_sharded_pcg_with_coarse_level():
+    """The explicitly-collective two-level preconditioner (per-shard band
+    BCR + replicated coarse inverse with a psum-assembled coarse residual)
+    must solve the same system, in no more iterations than band-only
+    asks of the residual rule."""
+    prob, red = _reduced_system()
+    mesh = make_mesh(8)
+
+    x_sh = pcg_sharded(
+        red.Dh, red.Bh, red.Aba_h, prob.loop_b, prob.loop_a, red.rhs_n,
+        mesh=mesh, max_iterations=400, r_tolerance=1e-8,
+        fanout=prob.fanout, coarse_group=8, free_mask=prob.free_mask)
+
+    resid = gn_ops.reduced_matvec_t(red, prob, x_sh) - red.rhs_n
+    rel = float(jnp.linalg.norm(resid) / jnp.linalg.norm(red.rhs_n))
+    assert rel < 1e-4, rel
