@@ -48,6 +48,12 @@ class ComposedTrajectory:
     per_world: Dict[int, List[int]]   # world id -> node indices (jmb)
     latest_pose_worldid: int
     solved_until: int
+    # incremental-protocol stamp: changes whenever a solve lands or worlds
+    # merge. Stamped INSIDE assemble() under engine.state_lock so the served
+    # version is always consistent with the pose snapshot (a version
+    # computed at query time from live engine state could be newer than the
+    # snapshot, making clients keep a stale prefix).
+    version: str = ""
 
     def world_polyline(self, world_id: int) -> np.ndarray:
         idx = self.per_world.get(world_id, [])
@@ -192,9 +198,15 @@ class Composer:
         comp = ComposedTrajectory(
             q=q_out, t=t_out, world_of=w, per_world=per_world,
             latest_pose_worldid=int(w[-1]), solved_until=su,
+            version=self._version(),
         )
         self.latest = comp
         return comp
+
+    def _version(self) -> str:
+        """Snapshot stamp; callers hold engine.state_lock, under which
+        write_back + solve_stats append are atomic (engine._finish_solve)."""
+        return f"{len(self.engine.solve_stats)}:{self.store.n_worlds()}"
 
     def _assemble_loop(self) -> Optional[ComposedTrajectory]:
         store, eng = self.store, self.engine
@@ -282,6 +294,7 @@ class Composer:
         comp = ComposedTrajectory(
             q=q_out, t=t_out, world_of=node_worlds, per_world=per_world,
             latest_pose_worldid=latest_world, solved_until=su,
+            version=self._version(),
         )
         self.latest = comp
         return comp

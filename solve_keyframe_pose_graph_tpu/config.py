@@ -101,11 +101,14 @@ class StreamConfig:
     trigger_poll_hz: float = 2.0        # reference: 0.5 Hz poll (:1257); we
                                         # poll faster since a no-op poll is free
     assembler_hz: float = 30.0          # Composer.cpp:10 (30 Hz)
-    # Overlap host problem-build with the in-flight device solve: trigger N
-    # dispatches asynchronously and is collected at the start of trigger
-    # N+1 (or by engine.drain()). Initial guesses for N+1 then read pre-N
-    # opt values — the same deliberate decoupling the reference uses for
-    # its lock-free read-during-solve (PoseGraphSLAM.cpp:1893-1902).
+    # Leave the device solve of trigger N in flight instead of blocking on
+    # it: the result is collected at the START of trigger N+1 (or by
+    # engine.drain()). Because that collect runs before anything else in
+    # trigger N+1, the overlap window covers the host ingest/compose work
+    # BETWEEN triggers, not trigger N+1's own problem build — its initial
+    # guesses read post-N opt values, exactly as in sync mode. Pays off
+    # when ingest paces slower than the solve (the host returns to
+    # ingesting immediately); a no-op in tight replay loops.
     async_dispatch: bool = False
     find_index_tol_ns: int = 1_000_000  # 1 ms timestamp match tolerance
                                         # (NodeDataManager.cpp:286)

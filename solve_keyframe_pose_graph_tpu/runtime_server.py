@@ -109,13 +109,17 @@ class PoseGraphServer:
             # solve landed and no world merged) the already-sent prefix is
             # still valid and only nodes >= since_n are returned. On a
             # version change the full trajectory is re-sent. Reads the
-            # assembler thread's snapshot — no per-query O(N) assemble.
+            # assembler thread's snapshot — no per-query O(N) assemble. The
+            # version is the SNAPSHOT's own stamp (set inside assemble()
+            # under engine.state_lock): recomputing it here from live
+            # engine/store state could stamp pre-solve poses with a
+            # post-solve version, leaving clients on a stale prefix.
             comp = self.composer.latest
             if comp is None:
                 comp = self.composer.assemble()
             if comp is None:
                 return {"n": 0, "from": 0, "version": ""}
-            version = f"{len(self.engine.solve_stats)}:{self.store.n_worlds()}"
+            version = comp.version
             start = 0
             if obj.get("version") == version:
                 start = max(0, min(int(obj.get("since_n", 0)), len(comp.t)))

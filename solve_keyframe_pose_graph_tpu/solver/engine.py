@@ -241,11 +241,10 @@ class SolverEngine:
                 # overlapped pipeline: leave the solve in flight on the
                 # device (JAX dispatch is async); the host is free to ingest
                 # and compose. The result is collected at the START of the
-                # next trigger (or by drain()), so trigger N+1's problem
-                # build overlaps solve N's device time. Initial guesses for
-                # N+1 then read pre-N opt values — the same deliberate
-                # decoupling the reference justifies for its lock-free
-                # read-during-solve (PoseGraphSLAM.cpp:1893-1902).
+                # next trigger (or by drain()) — before its initial guesses
+                # run — so the overlap window is the host ingest/compose
+                # work BETWEEN triggers, not trigger N+1's problem build
+                # (which always sees post-N opt values, as in sync mode).
                 self._pending = (res, node_len, edge_len, node_worlds,
                                  self.trigger_id, _t_trigger0)
                 self.status = 3
@@ -260,11 +259,18 @@ class SolverEngine:
 
     def collect(self) -> bool:
         """Collect an in-flight async solve (blocks until the device is
-        done). Returns True if one was pending."""
-        if self._pending is None:
+        done). Returns True if one was pending.
+
+        The pending tuple is popped atomically under state_lock: the solver
+        thread's trigger()-time collect and a server thread's drain() (from
+        save_state_to_disk / shutdown) can race here, and an unsynchronized
+        check-then-act would let both pop the same tuple and run
+        _finish_solve twice (duplicate write_back + solve_stats rows)."""
+        with self.state_lock:
+            pending, self._pending = self._pending, None
+        if pending is None:
             return False
-        res, node_len, edge_len, node_worlds, tid, t0 = self._pending
-        self._pending = None
+        res, node_len, edge_len, node_worlds, tid, t0 = pending
         res = jax.device_get(res)
         self._finish_solve(res, node_len, edge_len, node_worlds, tid, t0)
         return True
@@ -276,7 +282,10 @@ class SolverEngine:
                       ) -> None:
         timer = self.timer
         # write back (under state_lock so a concurrent assemble() never sees
-        # a half-updated pose set or a watermark ahead of the data)
+        # a half-updated pose set or a watermark ahead of the data). The
+        # solve_stats append lives in the SAME locked section: its length is
+        # part of the trajectory version stamp (Composer._version), so the
+        # poses and the version must change atomically.
         self.last_result = res
         with timer.phase("write_back"), self.state_lock:
             q_new = np.asarray(res.q[:node_len], np.float64)
@@ -287,25 +296,24 @@ class SolverEngine:
             self._opt_t[:node_len][active] = t_new[active]
             self._switch[:edge_len] = sw_new
             self.solved_until = node_len - 1
+            self.solve_stats.append({
+                "trigger": tid,
+                "node_len": node_len,
+                "edge_len": edge_len,
+                "initial_cost": float(res.initial_cost),
+                "final_cost": float(res.final_cost),
+                "lm_iterations": int(res.iterations),
+                "successful_steps": int(res.successful_steps),
+                "cg_iterations": int(res.total_cg_iterations),
+                "trigger_wall_ms": 1000.0 * (time.perf_counter() - t0),
+            })
 
         if bool(res.converged):
             self.n_solve_convergences += 1
         self.prev_edge_len = edge_len
         self.prev_node_len = node_len
-        self.status = 3
         timer.totals["trigger_total"] += time.perf_counter() - t0
         timer.counts["trigger_total"] += 1
-        self.solve_stats.append({
-            "trigger": tid,
-            "node_len": node_len,
-            "edge_len": edge_len,
-            "initial_cost": float(res.initial_cost),
-            "final_cost": float(res.final_cost),
-            "lm_iterations": int(res.iterations),
-            "successful_steps": int(res.successful_steps),
-            "cg_iterations": int(res.total_cg_iterations),
-            "trigger_wall_ms": 1000.0 * (time.perf_counter() - t0),
-        })
         self.status = 0
 
     def _set_initial_guesses(self, node_len: int, node_worlds: np.ndarray
@@ -353,48 +361,51 @@ class SolverEngine:
         opt_t = self._opt_t[:node_len]
 
         # cases 1-4 mutate the opt-pose arrays in place: hold state_lock so
-        # a concurrent assemble() reads either all-old or all-new guesses
-        self.state_lock.acquire()
-        # case 1: solved nodes of a world whose setID changed -> re-base
-        c1 = valid & before & in_change
-        if c1.any():
-            qn, tn = nse3.pose_mul(q_ch_all[wc[c1]], t_ch_all[wc[c1]],
-                                   opt_q[c1], opt_t[c1])
-            opt_q[c1] = nse3.quat_normalize(qn)
-            opt_t[c1] = tn
-        # case 2: solved, unchanged -> keep (except su == 0 bootstrap)
-        if su == 0:
-            c2 = valid & before & ~in_change
-            opt_q[c2] = vio_q_all[:node_len][c2]
-            opt_t[c2] = vio_t_all[:node_len][c2]
-        # case 3: unsolved, same world as the watermark -> odometry
-        # extrapolation w_T_last * (last_M_u)
-        c3 = valid & ~before & (w == su_world)
-        if c3.any():
-            q_l, t_l = store.node_pose(su)
-            q_li, t_li = nse3.pose_inv(q_l, t_l)
-            q_d, t_d = nse3.pose_mul(
-                np.broadcast_to(q_li, (int(c3.sum()), 4)),
-                np.broadcast_to(t_li, (int(c3.sum()), 3)),
-                vio_q_all[:node_len][c3], vio_t_all[:node_len][c3])
-            if self.node_pose_exists(su):
-                q_s, t_s = self._opt_q[su], self._opt_t[su]
-            else:
-                q_s, t_s = q_l, t_l
-            qn, tn = nse3.pose_mul(
-                np.broadcast_to(q_s, q_d.shape),
-                np.broadcast_to(t_s, t_d.shape), q_d, t_d)
-            opt_q[c3] = nse3.quat_normalize(qn)
-            opt_t[c3] = tn
-        # case 4: unsolved, different world -> map into set frame
-        c4 = valid & ~before & (w != su_world)
-        if c4.any():
-            qn, tn = nse3.pose_mul(q_sw_all[wc[c4]], t_sw_all[wc[c4]],
-                                   vio_q_all[:node_len][c4],
-                                   vio_t_all[:node_len][c4])
-            opt_q[c4] = nse3.quat_normalize(qn)
-            opt_t[c4] = tn
-        self.state_lock.release()
+        # a concurrent assemble() reads either all-old or all-new guesses.
+        # `with` (not manual acquire/release): an exception anywhere in the
+        # cases (e.g. an unknown world pair in get_pose_between_worlds)
+        # must not leave the RLock held forever, deadlocking the server's
+        # assembler thread.
+        with self.state_lock:
+            # case 1: solved nodes of a world whose setID changed -> re-base
+            c1 = valid & before & in_change
+            if c1.any():
+                qn, tn = nse3.pose_mul(q_ch_all[wc[c1]], t_ch_all[wc[c1]],
+                                       opt_q[c1], opt_t[c1])
+                opt_q[c1] = nse3.quat_normalize(qn)
+                opt_t[c1] = tn
+            # case 2: solved, unchanged -> keep (except su == 0 bootstrap)
+            if su == 0:
+                c2 = valid & before & ~in_change
+                opt_q[c2] = vio_q_all[:node_len][c2]
+                opt_t[c2] = vio_t_all[:node_len][c2]
+            # case 3: unsolved, same world as the watermark -> odometry
+            # extrapolation w_T_last * (last_M_u)
+            c3 = valid & ~before & (w == su_world)
+            if c3.any():
+                q_l, t_l = store.node_pose(su)
+                q_li, t_li = nse3.pose_inv(q_l, t_l)
+                q_d, t_d = nse3.pose_mul(
+                    np.broadcast_to(q_li, (int(c3.sum()), 4)),
+                    np.broadcast_to(t_li, (int(c3.sum()), 3)),
+                    vio_q_all[:node_len][c3], vio_t_all[:node_len][c3])
+                if self.node_pose_exists(su):
+                    q_s, t_s = self._opt_q[su], self._opt_t[su]
+                else:
+                    q_s, t_s = q_l, t_l
+                qn, tn = nse3.pose_mul(
+                    np.broadcast_to(q_s, q_d.shape),
+                    np.broadcast_to(t_s, t_d.shape), q_d, t_d)
+                opt_q[c3] = nse3.quat_normalize(qn)
+                opt_t[c3] = tn
+            # case 4: unsolved, different world -> map into set frame
+            c4 = valid & ~before & (w != su_world)
+            if c4.any():
+                qn, tn = nse3.pose_mul(q_sw_all[wc[c4]], t_sw_all[wc[c4]],
+                                       vio_q_all[:node_len][c4],
+                                       vio_t_all[:node_len][c4])
+                opt_q[c4] = nse3.quat_normalize(qn)
+                opt_t[c4] = tn
 
     def _solve_device(self, node_len, edge_len, node_worlds,
                       prior_idx, prior_q, prior_t, prior_w) -> LMResult:
