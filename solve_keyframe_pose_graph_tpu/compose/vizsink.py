@@ -8,7 +8,14 @@ that any viewer can render:
     or setID (publishNodesAsLineStrip, VizPoseGraph.cpp:67-165;
     color choice Composer.cpp:285)
   * loop-edge line list over corrected endpoints, false-colored by switch
-    value (publishSlamResidueVisual, VizPoseGraph.cpp:378-445)
+    value and carrying the residual weight (publishSlamResidueVisual's
+    loopedge_residues markers, VizPoseGraph.cpp:417-445)
+  * odometry-residue line list false-colored by residual weight
+    (publishSlamResidueVisual's odom_residues markers, VizPoseGraph.cpp:
+    383-414; the (a, b, weight) tuples the reference records during
+    assembly, PoseGraphSLAM.cpp:963-1002)
+  * newest-N loop edges as one line list (publishLastNEdges,
+    VizPoseGraph.cpp:342-376)
   * disjoint-set status (string + JSON; Worlds.cpp:278-363)
 """
 
@@ -54,10 +61,45 @@ def write_ppm(path: str, img: np.ndarray) -> None:
 
 
 class TrajectoryWriter:
-    def __init__(self, out_dir: str, color_by_set: bool = False):
+    def __init__(self, out_dir: str, color_by_set: bool = False,
+                 last_n_edges: int = 20):
         self.out_dir = out_dir
         self.color_by_set = color_by_set
+        # newest-N loop edges emitted as one highlighted line list (the
+        # reference's publishLastNEdges(n); 0 disables)
+        self.last_n_edges = last_n_edges
         os.makedirs(out_dir, exist_ok=True)
+
+    def _odom_residues(self, composer, comp) -> list:
+        """(a, b, weight) line list over corrected endpoints, false-colored
+        by the odometry residual weight."""
+        from solve_keyframe_pose_graph_tpu.solver.problem import (
+            odometry_grid_np,
+        )
+
+        store = composer.store
+        n = store.node_len
+        if comp is None or n == 0:
+            return []
+        rc = composer.engine.config.residual
+        _, vio_q, vio_t = store.node_arrays()
+        node_valid = store.node_worlds()[:n] >= 0
+        _, _, ow, om = odometry_grid_np(
+            vio_q[:n], vio_t[:n], node_valid, fanout=rc.odometry_fanout,
+            odo_decay=rc.odometry_decay,
+            odo_yaw_sigma2=rc.odometry_yaw_sigma2)
+        out = []
+        t_corr = np.asarray(comp.t)
+        for f in range(ow.shape[0]):
+            for u in np.nonzero(om[f] > 0)[0]:
+                w = float(ow[f, u])
+                out.append({
+                    "a": int(u), "b": int(u - f - 1), "weight": w,
+                    "p0": t_corr[u].tolist(),
+                    "p1": t_corr[u - f - 1].tolist(),
+                    "color": colors.false_color(w),
+                })
+        return out
 
     def write_tick(self, composer, tick: int, tag: str = "live") -> str:
         """Streaming-cadence dump: 90% of ticks emit only the NEWEST
@@ -98,13 +140,35 @@ class TrajectoryWriter:
 
         edges = []
         p0, p1, sw = composer.corrected_loop_edges()
+        _, _, _, _, ew, _ = store.edge_arrays()
         for k in range(len(sw)):
             edges.append({
                 "p0": np.asarray(p0[k]).tolist(),
                 "p1": np.asarray(p1[k]).tolist(),
                 "switch": float(sw[k]),
+                # residual weight ("goodness" from the loop detector): the
+                # reference's loopedge_residues tuples carry it alongside
+                # the switch value (VizPoseGraph.cpp:421-425)
+                "weight": float(ew[k]) if k < len(ew) else 0.0,
                 "color": colors.false_color(sw[k]),
             })
+
+        # newest-N loop edges as one line list (publishLastNEdges,
+        # VizPoseGraph.cpp:342-376; color .5,.5,.1 as in the reference)
+        n_last = min(self.last_n_edges, len(sw)) if self.last_n_edges else 0
+        last_n = {
+            "n": n_last,
+            "color": [0.5, 0.5, 0.1],
+            "segments": [[np.asarray(p0[k]).tolist(),
+                          np.asarray(p1[k]).tolist()]
+                         for k in range(len(sw) - n_last, len(sw))],
+        }
+
+        # odometry residues false-colored by residual weight
+        # (publishSlamResidueVisual's odom_residues, VizPoseGraph.cpp:
+        # 383-414). Weights are pure functions of the immutable VIO input,
+        # recomputed here with the problem builder's own grid helper.
+        odom_residues = self._odom_residues(composer, comp)
 
         # raw (uncorrected) VIO odometry polyline — the reference's
         # periodic_publish_odoms thread (keyframe_pose_graph_slam_node.cpp:
@@ -116,6 +180,8 @@ class TrajectoryWriter:
             "strips": strips,
             "raw_odometry": raw_strip,
             "loop_edges": edges,
+            "last_n_edges": last_n,
+            "odom_residues": odom_residues,
             "disjoint_set_status": worlds.disjoint_set_status(),
             "worlds_status": worlds.status_json(),
             "solved_until": composer.engine.solved_until,

@@ -137,6 +137,46 @@ def empty_problem(n_cap: int, e_cap: int, p_cap: int, fanout: int = 5,
     )
 
 
+def odometry_grid_np(vio_q: np.ndarray, vio_t: np.ndarray,
+                     node_valid: np.ndarray, *, fanout: int = 5,
+                     odo_decay: float = 0.9, odo_yaw_sigma2: float = 6.0):
+    """Unpadded (F, n) odometry observation grid from raw VIO poses.
+
+    Slot [f-1, u] is the edge u <-> u-f with observed relative pose
+    u_M_umf = (w_M_u)^-1 * w_M_umf and the reference's weight
+    0.9^f * exp(-yaw_deg^2/6) (PoseGraphSLAM.cpp:1577-1606). Pure fp64 host
+    math; shared by the problem builder and the residue-visual diagnostics
+    (the reference records the same (a, b, weight) tuples during assembly
+    for publishSlamResidueVisual, PoseGraphSLAM.cpp:963-1002).
+
+    Returns (oq (F,n,4), ot (F,n,3), ow (F,n), om (F,n)) fp64, with om the
+    {0,1} validity mask (both endpoints outside kidnap dead zones)."""
+    from solve_keyframe_pose_graph_tpu.utils import nse3
+
+    n = vio_q.shape[0]
+    q64 = np.asarray(vio_q, np.float64)
+    t64 = np.asarray(vio_t, np.float64)
+    oq = np.zeros((fanout, n, 4)); oq[..., 3] = 1.0
+    ot = np.zeros((fanout, n, 3))
+    ow = np.zeros((fanout, n))
+    om = np.zeros((fanout, n))
+    for f in range(1, fanout + 1):
+        if n <= f:
+            break
+        # node1 = u, node2 = u - f ; observed u_M_umf
+        q1, t1 = q64[f:n], t64[f:n]
+        q2, t2 = q64[: n - f], t64[: n - f]
+        rq, rt = nse3.pose_relative(q1, t1, q2, t2)
+        yaw = nse3.relative_yaw_deg(rq)
+        w = (odo_decay ** f) * np.exp(-yaw * yaw / odo_yaw_sigma2)
+        oq[f - 1, f:n] = rq
+        ot[f - 1, f:n] = rt
+        ow[f - 1, f:n] = w
+        valid = node_valid[f:n] & node_valid[: n - f]
+        om[f - 1, f:n] = valid.astype(np.float64)
+    return oq, ot, ow, om
+
+
 def build_problem_np(
     *,
     q: np.ndarray,                 # (N,4) xyzw initial guesses
@@ -189,27 +229,17 @@ def build_problem_np(
         fm[:n] = (node_valid & node_free).astype(dtype)
 
     # --- odometry grid from VIO (float64 host math, then cast)
-    q64 = vio_q.astype(np.float64)
-    t64 = vio_t.astype(np.float64)
+    oq64, ot64, ow64, om64 = odometry_grid_np(
+        vio_q, vio_t, node_valid, fanout=fanout, odo_decay=odo_decay,
+        odo_yaw_sigma2=odo_yaw_sigma2)
     oq = np.zeros((fanout, n_cap, 4), dtype); oq[..., 3] = 1.0
     ot = np.zeros((fanout, n_cap, 3), dtype)
     ow = np.zeros((fanout, n_cap), dtype)
     om = np.zeros((fanout, n_cap), dtype)
-
-    for f in range(1, fanout + 1):
-        if n <= f:
-            break
-        # node1 = u, node2 = u - f ; observed u_M_umf
-        q1, t1 = q64[f:n], t64[f:n]
-        q2, t2 = q64[: n - f], t64[: n - f]
-        rq, rt = nse3.pose_relative(q1, t1, q2, t2)
-        yaw = nse3.relative_yaw_deg(rq)
-        w = (odo_decay ** f) * np.exp(-yaw * yaw / odo_yaw_sigma2)
-        oq[f - 1, f:n] = rq
-        ot[f - 1, f:n] = rt
-        ow[f - 1, f:n] = w
-        valid = node_valid[f:n] & node_valid[: n - f]
-        om[f - 1, f:n] = valid.astype(dtype)
+    oq[:, :n] = oq64
+    ot[:, :n] = ot64
+    ow[:, :n] = ow64
+    om[:, :n] = om64
 
     # --- loop edges
     la = np.zeros((e_cap,), np.int32)

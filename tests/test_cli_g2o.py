@@ -86,6 +86,17 @@ def test_cli_solve_g2o(sphere_g2o, tmp_path):
     assert sol["last_solve"]["final_cost"] < sol["last_solve"]["initial_cost"]
     viz = json.load(open(tmp_path / "viz_solve.json"))
     assert viz["strips"] and viz["loop_edges"]
+    # residue-visual parity (VizPoseGraph.cpp:342-445): loop edges carry
+    # BOTH the switch value and the residual weight; odometry residues are
+    # false-colored by weight; the newest-N edge list is present
+    for e in viz["loop_edges"]:
+        assert "switch" in e and "weight" in e and e["weight"] > 0
+    assert viz["odom_residues"], "odom residue visual missing"
+    r0 = viz["odom_residues"][0]
+    assert {"a", "b", "weight", "p0", "p1", "color"} <= set(r0)
+    assert 0 < r0["weight"] <= 1.0
+    n_edges = len(viz["loop_edges"])
+    assert len(viz["last_n_edges"]["segments"]) == min(20, n_edges)
     npz = np.load(tmp_path / "viz_solve.npz")
     assert npz["t"].shape == (300, 3)
 
