@@ -67,8 +67,6 @@ def main():
 
     from solve_keyframe_pose_graph_tpu.ops import lm
 
-    prob, _ = build()
-
     # Per-solve DEVICE time via chained in-program solves: the tunneled
     # harness adds a ~35 ms host round trip per dispatch+fetch that is an
     # artifact of the remote link, not the chip (production streaming
@@ -76,6 +74,12 @@ def main():
     # solves inside one jitted program (each consuming the previous result,
     # so nothing can be elided) and differencing K=CHAIN against K=1 cancels
     # dispatch, fetch, AND the shared one-time costs exactly.
+    prob, g = build()
+    # static tile capacity for the tiled loop matvec, from the raw host
+    # edge list (gn.tile_k_for; 640 for this graph)
+    from solve_keyframe_pose_graph_tpu.ops import gn
+    tile_k = gn.tile_k_for(g.loop_pairs[:, 1], g.loop_pairs[:, 0], N_CAP)
+
     def chained(k):
         @jax.jit
         def run(p):
@@ -85,12 +89,14 @@ def main():
                     p, t=p.t + (tshift * 1e-9).astype(p.t.dtype))
                 # the chi2-PARITY configuration (the north-star metric is
                 # wall-clock AT Ceres-parity chi2): two-level band+coarse
-                # preconditioner, default forcing — final chi2 0.4055 vs
-                # the fp64 exact-step reference's 0.4038 (+0.4%), verified
-                # rejection-free across perturbed instances (BASELINE.md)
+                # preconditioner, default forcing, tile-padded one-hot
+                # loop matvec — final chi2 0.4053 vs the fp64 exact-step
+                # reference's 0.4038 (+0.4%), verified rejection-free
+                # across perturbed instances (BASELINE.md)
                 r = lm.lm_solve(p_i, max_iterations=10,
                                 preconditioner="band+coarse",
-                                coarse_group=64)
+                                coarse_group=64,
+                                loop_impl="tiledrows", tile_k=tile_k)
                 return cost_acc + r.final_cost, r.final_cost
             acc, _ = jax.lax.fori_loop(
                 0, k, body, (jnp.float32(0.0), jnp.float32(0.0)))

@@ -46,6 +46,7 @@ def parse_spec(spec: str) -> dict:
 
 
 def measure(prob, kw) -> tuple:
+    kw = {"max_iterations": 10, **kw}
     def chained(k):
         @jax.jit
         def run(p):
@@ -53,7 +54,7 @@ def measure(prob, kw) -> tuple:
                 cost_acc, tshift = carry
                 p_i = dataclasses.replace(
                     p, t=p.t + (tshift * 1e-9).astype(p.t.dtype))
-                r = lm.lm_solve(p_i, max_iterations=10, **kw)
+                r = lm.lm_solve(p_i, **kw)
                 return cost_acc + r.final_cost, r.final_cost
             acc, _ = jax.lax.fori_loop(
                 0, k, body, (jnp.float32(0.0), jnp.float32(0.0)))
@@ -75,7 +76,7 @@ def measure(prob, kw) -> tuple:
         float(runK(p))
         tks.append(time.perf_counter() - t0)
     ms = (float(np.median(tks)) - float(np.median(t1s))) / (CHAIN - 1) * 1e3
-    r = lm.lm_solve(prob, max_iterations=10, **kw)
+    r = lm.lm_solve(prob, **kw)
     return ms, float(r.final_cost), int(r.total_cg_iterations)
 
 

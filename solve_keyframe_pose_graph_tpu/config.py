@@ -47,6 +47,13 @@ class SolverConfig:
                                         # full reduction
     coarse_group: int = 32              # nodes per aggregate in the
                                         # two-level preconditioners
+    # Loop-edge matvec formulation. "tiledrows" (tile-padded one-hot
+    # contraction, the fastest measured in-context on TPU — BASELINE.md
+    # round 3) needs a static per-tile capacity that the engine computes
+    # from the actual edge distribution (gn.tile_k_for); "sorted2" is the
+    # capacity-free fallback (and the auto choice when a caller has no
+    # host-side edge arrays to size the tiles from).
+    loop_impl: str = "tiledrows"
     # dtype for device solve: "float32" (TPU-native) or "float64" (parity
     # checks on CPU).
     dtype: str = "float32"

@@ -701,6 +701,188 @@ def loop_matvec_sorted(inc: SortedIncidence, blocks_dup, p_n):
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=["slot_edge", "slot_src", "onehot"],
+    meta_fields=["tile_k", "fake_gather", "gather_mode"],
+)
+@dataclasses.dataclass
+class TiledIncidence:
+    """Dest-tile-padded duplicated loop incidence — the scatter-free,
+    cumsum-free loop matvec (loop_matvec_tiled).
+
+    The 2Ec duplicated edges (one copy per direction) are bucketed by
+    destination-node TILE (128 nodes per tile) into a static (T, K) slot
+    grid (K = tile_k, a static capacity >= the max per-tile load — see
+    tile_k_for). The segment reduction then becomes ONE batched matmul
+    against a solve-invariant one-hot tensor: no scatter, no cumsum, no
+    boundary gathers — the three ops that dominated every previous loop
+    matvec formulation (~0.26 ms of the 0.33 ms in-context CG iteration at
+    bench scale; see BASELINE.md round-3 notes).
+
+    slot_edge (T*K,) i32: dup-edge index per slot (2Ec = zero-block padding)
+    slot_src  (T*K,) i32: source node per slot (0 for padding slots)
+    onehot    (T, K, 128): S[t, k, n] = 1 iff slot t*K+k's dest == t*128+n.
+              Padding slots in tile 0 alias node 0 but carry the zero
+              block, contributing exact zeros.
+    """
+
+    slot_edge: jax.Array
+    slot_src: jax.Array
+    onehot: jax.Array
+    tile_k: int
+    # diagnostic ONLY: skip the per-iteration source gather (WRONG results)
+    # to attribute in-context cost between gather and reduction
+    fake_gather: bool = False
+    # "rows" (row gather + transpose back) | "stack6" (six 1-D gathers,
+    # directly entry-major)
+    gather_mode: str = "stack6"
+
+    TILE_N = 128
+
+
+def tile_k_for(loop_b, loop_a, n_cap: int, bucket: int = 128,
+               loop_mask=None) -> int:
+    """Host-side static tile capacity: max VALID dup-edge load over 128-node
+    dest tiles, rounded up to `bucket` (each K value is its own compiled
+    program, so bucketing amortizes compiles like the capacity buckets).
+    Masked/padding edges are excluded — they all alias node 0 and would
+    otherwise blow the capacity up ~25x (their blocks are zero, and
+    build_tiled_incidence drops them the same way)."""
+    import numpy as np
+    dest = np.concatenate([np.asarray(loop_b), np.asarray(loop_a)])
+    if loop_mask is not None:
+        m = np.asarray(loop_mask) > 0.5
+        dest = dest[np.concatenate([m, m])]
+    tiles = dest // TiledIncidence.TILE_N
+    n_tiles = max(1, -(-n_cap // TiledIncidence.TILE_N))
+    load = np.bincount(tiles, minlength=n_tiles).max() if dest.size else 0
+    return int(max(bucket, -(-int(load) // bucket) * bucket))
+
+
+def build_tiled_incidence(problem: Problem, tile_k: int) -> TiledIncidence:
+    """Device-side slot assignment (once per solve, inside the jitted
+    program): stable-sort dup edges by dest tile, rank within tile, scatter
+    dup indices into the (T*K,) slot grid. tile_k MUST be >= the max
+    per-tile load (tile_k_for) — overflow slots would silently drop edges."""
+    TN = TiledIncidence.TILE_N
+    Nc = problem.n_cap
+    T = -(-Nc // TN)
+    dest = jnp.concatenate([problem.loop_b, problem.loop_a])
+    src = jnp.concatenate([problem.loop_a, problem.loop_b])
+    E2 = dest.shape[0]
+    valid = jnp.concatenate([problem.loop_mask, problem.loop_mask]) > 0.5
+    # masked/padding edges (zero blocks, all aliasing node 0) are excluded
+    # from the slot grid entirely: sort them to a virtual tile PAST the end
+    # so they never consume (or overflow) tile 0's capacity
+    tile = jnp.where(valid, dest // TN, T)
+    order = jnp.argsort(tile, stable=True)
+    tile_s = tile[order]
+    starts = jnp.searchsorted(tile_s, jnp.arange(T, dtype=tile_s.dtype))
+    rank = jnp.arange(E2, dtype=jnp.int32) - starts[tile_s].astype(jnp.int32)
+    slot = tile_s.astype(jnp.int32) * tile_k + rank
+    # overflow (rank >= tile_k) and the invalid virtual tile must NOT spill
+    # into other tiles' slots: route them out of bounds so mode="drop"
+    # discards them (the engine sizes tile_k via tile_k_for so real edges
+    # are never dropped in valid use)
+    slot = jnp.where((rank < tile_k) & (tile_s < T), slot, T * tile_k)
+    slot_edge = jnp.full((T * tile_k,), E2, jnp.int32).at[slot].set(
+        order.astype(jnp.int32), mode="drop")
+    src_pad = jnp.concatenate([src, jnp.zeros((1,), src.dtype)])
+    dest_pad = jnp.concatenate([dest, jnp.zeros((1,), dest.dtype)])
+    slot_src = src_pad[slot_edge].astype(jnp.int32)
+    destrel = (dest_pad[slot_edge].astype(jnp.int32)
+               - (jnp.arange(T * tile_k, dtype=jnp.int32) // tile_k) * TN)
+    onehot = (destrel[:, None] == jnp.arange(TN, dtype=jnp.int32)[None, :])
+    onehot = onehot.astype(problem.dtype).reshape(T, tile_k, TN)
+    return TiledIncidence(slot_edge=slot_edge, slot_src=slot_src,
+                          onehot=onehot, tile_k=tile_k)
+
+
+def tiled_blocks_rows(red: ReducedSystemT, inc: TiledIncidence):
+    """(T*K, 36) slot-ordered duplicated loop blocks in ROW form (for
+    loop_matvec_tiled_rows), rebuilt once per LM iteration."""
+    ii, jj = _row_idx()
+    perm36 = (jj * 6 + ii).astype(jnp.int32)
+    rows = red.Aba_h.T                                  # (Ec, 36)
+    dup_rows = jnp.concatenate(
+        [rows, rows[:, perm36],
+         jnp.zeros((1, 36), rows.dtype)], axis=0)       # (2Ec+1, 36)
+    return dup_rows[inc.slot_edge]                      # (T*K, 36)
+
+
+def tiled_blocks36(red: ReducedSystemT, inc: TiledIncidence):
+    """(36, T*K) slot-ordered duplicated loop blocks (Aba for b-side copies,
+    Aba^T for a-side), rebuilt once per LM iteration. Row-form gather +
+    one transpose (lane gathers of wide entry-major tensors are ~10x
+    slower than row gathers)."""
+    ii, jj = _row_idx()
+    perm36 = (jj * 6 + ii).astype(jnp.int32)
+    rows = red.Aba_h.T                                  # (Ec, 36)
+    dup_rows = jnp.concatenate(
+        [rows, rows[:, perm36],
+         jnp.zeros((1, 36), rows.dtype)], axis=0)       # (2Ec+1, 36)
+    return dup_rows[inc.slot_edge].T                    # (36, T*K)
+
+
+def loop_matvec_tiled_rows(inc: TiledIncidence, blkrows, p_n):
+    """y_loop via the tile-padded one-hot reduction, entirely in ROW form —
+    the only gather pattern XLA lowers fast in-context is a row gather
+    consumed AS rows (sorted2's gathers measure ~free; the same gather
+    followed by a transpose-back to entry-major costs ~0.7 ms/iteration).
+
+    blkrows: (T*K, 36) slot-ordered dup blocks (tiled_blocks36(...).T — kept
+    in row form). Per dest tile: tmp[k, 6i+j] = blkrows[k, 6i+j] *
+    xs_rows[k, j]; W_t (36, TN) = tmp_t^T @ S_t (MXU contraction over the
+    slot dim); y_t (6, TN) = Z^T W_t with Z the constant 36->6 row-sum
+    combine. No transposes, no cumsum, no scatter."""
+    TN = TiledIncidence.TILE_N
+    T, K, _ = inc.onehot.shape
+    dt = p_n.dtype
+    pT = p_n.T                                          # (Nc, 6)
+    xs_rows = pT[inc.slot_src]                          # (T*K, 6)
+    xs6 = jnp.tile(xs_rows, (1, 6))                     # (T*K, 36)
+    tmp = (blkrows * xs6).reshape(T, K, 36)
+    W = jax.lax.dot_general(
+        tmp, inc.onehot,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=dt,
+    )                                                   # (T, 36, TN)
+    Z = jnp.zeros((36, 6), dt).at[jnp.arange(36), jnp.arange(36) // 6].set(
+        1.0)
+    y = jnp.einsum("ci,tcn->itn", Z, W)                 # (6, T, TN)
+    return y.reshape(6, T * TN)[:, : p_n.shape[-1]]
+
+
+def loop_matvec_tiled(inc: TiledIncidence, blk36, p_n):
+    """y_loop = A_loop p via the tile-padded one-hot reduction: row-gather
+    sources, 36 lane FMAs, ONE batched matmul per solve-invariant one-hot.
+    p_n (6, Nc) -> (6, Nc)."""
+    TN = TiledIncidence.TILE_N
+    T, K, _ = inc.onehot.shape
+    if inc.fake_gather:
+        # diagnostic: no gather — replicate p lanes (WRONG results)
+        reps = -(-(T * K) // p_n.shape[-1])
+        xs = jnp.tile(p_n, (1, reps))[:, : T * K]
+    elif inc.gather_mode == "stack6":
+        # six 1-D gathers from p's rows: lands DIRECTLY in entry-major,
+        # avoiding the transpose-back of a (T*K, 6) row gather (measured
+        # ~0.7 ms in-context — 20x its isolated cost)
+        xs = jnp.stack([p_n[j][inc.slot_src] for j in range(6)])
+    else:
+        pT = p_n.T                                      # (Nc, 6)
+        xs = pT[inc.slot_src].T                         # (6, T*K)
+    v = jnp.stack([
+        sum(blk36[6 * i + j] * xs[j] for j in range(6)) for i in range(6)
+    ])                                                  # (6, T*K)
+    y = jax.lax.dot_general(
+        v.reshape(6, T, K), inc.onehot,
+        dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+        preferred_element_type=p_n.dtype,
+    )                                                   # (T, 6, TN)
+    return jnp.moveaxis(y, 0, 1).reshape(6, T * TN)[:, : p_n.shape[-1]]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=["perm_b", "bounds_b", "perm_a", "bounds_a"],
     meta_fields=[],
 )
@@ -740,13 +922,21 @@ def _cumsum_segments(v, perm, bounds):
 
 
 def loop_matvec_sorted2(inc: SortedIncidence2, red: ReducedSystemT,
-                        problem: Problem, p_n, Aba_aos=None):
-    """Loop matvec with v0's gathers/einsums but scatter-free reduction."""
+                        problem: Problem, p_n, Aba_aos=None,
+                        fake_gather: bool = False):
+    """Loop matvec with v0's gathers/einsums but scatter-free reduction.
+    fake_gather is a diagnostic ONLY (wrong results): replaces the two
+    row gathers with tiled copies to attribute in-context cost."""
     if Aba_aos is None:
         Aba_aos = t_blocks_to_aos(red.Aba_h)
     pT = p_n.T
-    xb = pT[problem.loop_b]
-    xa = pT[problem.loop_a]
+    if fake_gather:
+        reps = -(-problem.e_cap // pT.shape[0])
+        xb = jnp.tile(pT, (reps, 1))[: problem.e_cap]
+        xa = xb
+    else:
+        xb = pT[problem.loop_b]
+        xa = pT[problem.loop_a]
     vb = jnp.einsum("eij,ej->ei", Aba_aos, xa)
     va = jnp.einsum("eij,ei->ej", Aba_aos, xb)
     yb = _cumsum_segments(vb, inc.perm_b, inc.bounds_b)
@@ -802,8 +992,22 @@ def reduced_matvec_t(red: ReducedSystemT, problem: Problem, p_n,
     blocks_dup = dup_sorted_blocks(red, inc) (per LM iteration) to take the
     scatter-free path (~1.8x faster CG iterations); otherwise falls back to
     the scatter-add form (optionally with Aba_aos hoisted)."""
-    if isinstance(inc, SortedIncidence2):
-        yl = loop_matvec_sorted2(inc, red, problem, p_n, Aba_aos)
+    if inc == "none":
+        # diagnostic: band rows only (drops the loop blocks — WRONG results,
+        # used to decompose in-context per-iteration cost)
+        yl = 0.0
+    elif isinstance(inc, TiledIncidence):
+        if inc.gather_mode == "rowsdot":
+            if blocks_dup is None:
+                blocks_dup = tiled_blocks_rows(red, inc)
+            yl = loop_matvec_tiled_rows(inc, blocks_dup, p_n)
+        else:
+            if blocks_dup is None:
+                blocks_dup = tiled_blocks36(red, inc)
+            yl = loop_matvec_tiled(inc, blocks_dup, p_n)
+    elif isinstance(inc, SortedIncidence2):
+        yl = loop_matvec_sorted2(inc, red, problem, p_n, Aba_aos,
+                                 fake_gather=(impl == "s2ng"))
     elif inc is not None:
         if blocks_dup is None:
             blocks_dup = dup_sorted_blocks36(red, inc)

@@ -95,7 +95,7 @@ def _apply_step(q, t, s, dx_n, dx_s, node_mask, renormalize: bool):
         "max_iterations", "max_cg_iterations", "renormalize", "preconditioner",
         "freeze_preconditioner", "residual_mode", "use_switch",
         "bcr_levels", "outer_unroll", "matvec_impl", "coarse_group",
-        "loop_impl", "cg_q_tolerance",
+        "loop_impl", "cg_q_tolerance", "tile_k",
     ),
 )
 def lm_solve(
@@ -138,6 +138,10 @@ def lm_solve(
                                     # "xla" | "pallas"
     coarse_group: int = 32,         # nodes per coarse aggregate for the
                                     # two-level preconditioners
+    tile_k: int = 768,              # static per-tile dup-edge capacity for
+                                    # loop_impl="tiled" (gn.tile_k_for picks
+                                    # it from the actual edge distribution;
+                                    # must be >= the max 128-node-tile load)
     loop_impl: str = "sorted2",     # "sorted2" (per-endpoint permute +
                                     # cumsum + boundary-diff; v0's cheap
                                     # einsums untouched) | "scatter"
@@ -173,8 +177,17 @@ def lm_solve(
     # (enables the scatter-free loop matvec — gn.loop_matvec_sorted)
     if loop_impl in ("sorted", "sorted36"):
         inc = gn_ops.build_sorted_incidence(problem)
-    elif loop_impl == "sorted2":
+    elif loop_impl in ("sorted2", "sorted2ng"):
         inc = gn_ops.build_sorted_incidence2(problem)
+    elif loop_impl in ("tiled", "tiledng", "tiledrows"):
+        inc = gn_ops.build_tiled_incidence(problem, tile_k)
+        import dataclasses as _dc
+        if loop_impl == "tiledng":   # diagnostic, wrong results
+            inc = _dc.replace(inc, fake_gather=True)
+        elif loop_impl == "tiledrows":
+            inc = _dc.replace(inc, gather_mode="rowsdot")
+    elif loop_impl == "none":
+        inc = "none"     # diagnostic: drop loop rows from the matvec
     else:
         inc = None
 
@@ -210,6 +223,9 @@ def lm_solve(
                 x2 = x1 + band(r - mv(x1))
                 return x2 + coarse(r - mv(x2))
             return two_grid
+        if preconditioner == "identity":
+            # diagnostic: no preconditioning (cost-decomposition probes)
+            return lambda r: r
         Minv = smallinv.gauss_jordan_inv(gn_ops.t_blocks_to_aos(red.Dh))
         return lambda r: jnp.einsum("uij,uj->ui", Minv, r.T).T
 
@@ -258,11 +274,21 @@ def lm_solve(
         elif loop_impl == "sorted":
             blocks_dup = gn_ops.dup_sorted_blocks(red, inc)     # hoisted
             Aba_aos = None
+        elif loop_impl == "tiledrows":
+            blocks_dup = gn_ops.tiled_blocks_rows(red, inc)     # hoisted
+            Aba_aos = None
+        elif loop_impl in ("tiled", "tiledng"):
+            blocks_dup = gn_ops.tiled_blocks36(red, inc)        # hoisted
+            Aba_aos = None
+        elif loop_impl == "none":
+            blocks_dup = None
+            Aba_aos = None
         else:   # scatter / sorted2 share v0's AoS einsum operands
             blocks_dup = None
             Aba_aos = gn_ops.t_blocks_to_aos(red.Aba_h)         # hoisted
+        mv_impl = "s2ng" if loop_impl == "sorted2ng" else matvec_impl
         mv_red = lambda p: gn_ops.reduced_matvec_t(
-            red, problem, p, impl=matvec_impl, Bup=Bup, Aba_aos=Aba_aos,
+            red, problem, p, impl=mv_impl, Bup=Bup, Aba_aos=Aba_aos,
             inc=inc, blocks_dup=blocks_dup)
         pc = pc_frozen if freeze_preconditioner else make_precond(red, mv_red)
 
@@ -392,8 +418,17 @@ def lm_solve(
 
 def solve_problem(problem: Problem, solver_cfg,
                   residual_mode: str = "6dof",
-                  use_switch: bool = True) -> LMResult:
-    """Convenience wrapper driven by config.SolverConfig."""
+                  use_switch: bool = True,
+                  tile_k: int | None = None) -> LMResult:
+    """Convenience wrapper driven by config.SolverConfig.
+
+    tile_k: static per-tile capacity for the tiled loop matvec, computed by
+    the caller from HOST edge arrays (gn.tile_k_for). The tiled impls are
+    only safe with a data-derived capacity, so when the config asks for one
+    and tile_k is None this falls back to the capacity-free "sorted2"."""
+    loop_impl = getattr(solver_cfg, "loop_impl", "sorted2")
+    if loop_impl in ("tiled", "tiledrows") and tile_k is None:
+        loop_impl = "sorted2"
     return lm_solve(
         problem,
         max_iterations=solver_cfg.max_lm_iterations,
@@ -409,4 +444,6 @@ def solve_problem(problem: Problem, solver_cfg,
         use_switch=use_switch,
         bcr_levels=getattr(solver_cfg, "bcr_levels", None),
         coarse_group=getattr(solver_cfg, "coarse_group", 32),
+        loop_impl=loop_impl,
+        tile_k=tile_k if tile_k is not None else 768,
     )

@@ -448,10 +448,17 @@ class SolverEngine:
                                   prior_q, prior_t, prior_w, n_cap, e_cap,
                                   p_cap, dtype, ea, eb, eq, et, ew, loop_valid,
                                   vio_q, vio_t)
+        # static per-tile capacity for the tiled loop matvec, from the HOST
+        # edge arrays (bucketed so compiles amortize like capacity buckets)
+        tile_k = None
+        if cfg.solver.loop_impl in ("tiled", "tiledrows"):
+            from solve_keyframe_pose_graph_tpu.ops.gn import tile_k_for
+            tile_k = tile_k_for(eb, ea, n_cap, loop_mask=loop_valid)
         from solve_keyframe_pose_graph_tpu.ops.lm import solve_problem
         return solve_problem(
             problem, cfg.solver, residual_mode=cfg.residual.mode,
-            use_switch=cfg.residual.use_switch_constraints)
+            use_switch=cfg.residual.use_switch_constraints,
+            tile_k=tile_k)
 
     def _build(self, node_len, edge_len, node_worlds, prior_idx, prior_q,
                prior_t, prior_w, n_cap, e_cap, p_cap, dtype, ea, eb, eq, et,

@@ -186,6 +186,63 @@ def test_sorted_loop_matvec_matches_scatter():
         np.testing.assert_allclose(np.array(got2), np.array(ref),
                                    rtol=1e-12, atol=1e-12)
 
+def test_tiled_loop_matvec_matches_scatter():
+    """The tile-padded one-hot loop matvec (both gather modes) must equal
+    the scatter-add form, and the full tiledrows solve must match sorted2.
+    This is the production TPU path since round 3 (BASELINE.md): the
+    one-hot contraction replaces permute+cumsum+boundary-gather, and the
+    row-form consumption avoids the transpose-back that costs ~0.7 ms per
+    CG iteration in-context on TPU."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from solve_keyframe_pose_graph_tpu.ops import gn as gn_ops
+    from solve_keyframe_pose_graph_tpu.ops import lm
+
+    _, prob = build_circle_problem(n=120, n_loops=25, seed=13)
+    blocks = gn_ops.assemble_t(prob, prob.q, prob.t, prob.switch)
+    diag_n = blocks.D[jnp.arange(0, 36, 7)]
+    scale_n = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag_n, 0)))
+    scale_s = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(blocks.ds, 0)))
+    lm_n = jnp.clip(diag_n * scale_n**2, 1e-6, 1e32) / 1e4
+    lm_s = jnp.clip(blocks.ds * scale_s**2, 1e-6, 1e32) / 1e4
+    red = gn_ops.schur_reduce_t(blocks, prob, scale_n, scale_s, lm_n, lm_s)
+
+    K = gn_ops.tile_k_for(prob.loop_b, prob.loop_a, prob.n_cap,
+                          loop_mask=prob.loop_mask)
+    inc = gn_ops.build_tiled_incidence(prob, K)
+    # every valid dup edge must land in exactly one slot
+    n_valid = int(2 * np.sum(np.array(prob.loop_mask) > 0.5))
+    assert int(np.sum(np.array(inc.slot_edge) < 2 * prob.e_cap)) == n_valid
+
+    blk36 = gn_ops.tiled_blocks36(red, inc)
+    blkrows = gn_ops.tiled_blocks_rows(red, inc)
+    np.testing.assert_allclose(np.array(blkrows), np.array(blk36.T),
+                               rtol=0, atol=0)
+    rng = np.random.default_rng(5)
+    for _ in range(3):
+        p = jnp.asarray(rng.normal(size=(6, prob.n_cap)))
+        ref = gn_ops.loop_matvec_t(red, prob, p)
+        got = gn_ops.loop_matvec_tiled(inc, blk36, p)
+        np.testing.assert_allclose(np.array(got), np.array(ref),
+                                   rtol=1e-12, atol=1e-12)
+        got_rows = gn_ops.loop_matvec_tiled_rows(inc, blkrows, p)
+        np.testing.assert_allclose(np.array(got_rows), np.array(ref),
+                                   rtol=1e-12, atol=1e-12)
+        inc_rows = dataclasses.replace(inc, gather_mode="rowsdot")
+        full_ref = gn_ops.reduced_matvec_t(red, prob, p)
+        full_new = gn_ops.reduced_matvec_t(red, prob, p, inc=inc_rows)
+        np.testing.assert_allclose(np.array(full_new), np.array(full_ref),
+                                   rtol=1e-12, atol=1e-12)
+
+    r1 = lm.lm_solve(prob, max_iterations=6, loop_impl="sorted2")
+    r2 = lm.lm_solve(prob, max_iterations=6, loop_impl="tiledrows",
+                     tile_k=K)
+    assert abs(float(r1.final_cost) - float(r2.final_cost)) < 1e-10 * max(
+        1.0, float(r1.final_cost))
+    assert int(r1.total_cg_iterations) == int(r2.total_cg_iterations)
+
+
 def test_four_dof_mode_end_to_end():
     """residual_mode='4dof' (the reference's yaw-weighted Euler family,
     CeresResidues.h:252-422) must drive a full LM solve: large cost
