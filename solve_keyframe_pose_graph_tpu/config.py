@@ -38,6 +38,11 @@ class SolverConfig:
     max_cg_iterations: int = 60
     cg_tolerance: float = 1e-2          # relative residual reduction
     cg_q_tolerance: float = 0.0         # 0 = off
+    # warm forcing schedule: the first cg_warm_iters LM iterations solve CG
+    # with a cg_warm_mult-times looser forcing (0 = off). Saves a few CG
+    # iterations early in a solve at a small chi^2 cost; off by default.
+    cg_warm_iters: int = 0
+    cg_warm_mult: float = 3.0
     preconditioner: str = "band"        # "band" (BCR) | "jacobi" |
                                         # "band+coarse" | "band*coarse"
                                         # (two-level: band smoother +

@@ -81,16 +81,44 @@ def build_coarse_inverse_arrays(Dh, Bh, Aba_h, loop_b, loop_a,
     seg = u // c                                        # (Nc,)
 
     perm = jnp.asarray(_T36, jnp.int32)
-    Hc = jnp.zeros((M * M, 36), dt)
-    Hc = Hc.at[seg * M + seg].add(Dh.T)
+
+    def seg_sum(rows):
+        """Per-segment row sums via reshape (nodes are segment-contiguous,
+        so NO scatter is needed for node-aligned contributions — scatters
+        of (Nc, 36) payloads cost ~0.1 ms each and the band used to need
+        ten of them per LM iteration)."""
+        pad = M * c - Nc
+        if pad:
+            rows = jnp.concatenate(
+                [rows, jnp.zeros((pad, 36), dt)], axis=0)
+        return rows.reshape(M, c, 36).sum(axis=1)       # (M, 36)
+
+    # node-diagonal and band contributions, segment-aligned:
+    #   in-segment (u-f-1 in the same segment)   -> (s, s) diagonal block
+    #   boundary   (u-f-1 in the previous one)   -> (s, s-1) + transpose
+    Hdiag = seg_sum(Dh.T)
+    Hsub = jnp.zeros((M, 36), dt)                       # block (s, s-1)
     for f in range(fanout):
         # Bh[f][:, u] couples node u (rows) with node u-f-1 (cols); the
-        # first f+1 lanes are zero blocks, so their clipped segment index
-        # contributes nothing
-        sl = jnp.maximum(u - (f + 1), 0) // c
+        # first f+1 lanes are zero blocks (masked upstream), so u < f+1
+        # contributes nothing either way
         BT = Bh[f].T                                    # (Nc, 36)
-        Hc = Hc.at[seg * M + sl].add(BT)
-        Hc = Hc.at[sl * M + seg].add(BT[:, perm])
+        cross = ((u % c) <= f) & (u >= f + 1)
+        BTc = BT * cross[:, None]
+        BTi = BT - BTc
+        in_sum = seg_sum(BTi)
+        Hdiag = Hdiag + in_sum + in_sum[:, perm]
+        Hsub = Hsub + seg_sum(BTc)
+
+    Hc = jnp.zeros((M * M, 36), dt)
+    dsl = jnp.arange(M)
+    Hc = Hc.at[dsl * M + dsl].add(Hdiag)                # M rows: cheap
+    sub_idx = dsl * M + jnp.maximum(dsl - 1, 0)
+    Hsub = Hsub.at[0].set(0.0)                          # seg 0 has no s-1
+    Hc = Hc.at[sub_idx].add(Hsub)
+    Hc = Hc.at[jnp.maximum(dsl - 1, 0) * M + dsl].add(Hsub[:, perm])
+
+    # loop blocks couple arbitrary segment pairs: these two scatters stay
     sb = seg[loop_b]
     sa = seg[loop_a]
     AT = Aba_h.T                                        # (Ec, 36)

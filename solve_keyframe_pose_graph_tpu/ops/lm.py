@@ -95,7 +95,7 @@ def _apply_step(q, t, s, dx_n, dx_s, node_mask, renormalize: bool):
         "max_iterations", "max_cg_iterations", "renormalize", "preconditioner",
         "freeze_preconditioner", "residual_mode", "use_switch",
         "bcr_levels", "outer_unroll", "matvec_impl", "coarse_group",
-        "loop_impl", "cg_q_tolerance", "tile_k",
+        "loop_impl", "cg_q_tolerance", "tile_k", "cg_warm_iters",
     ),
 )
 def lm_solve(
@@ -138,6 +138,12 @@ def lm_solve(
                                     # "xla" | "pallas"
     coarse_group: int = 32,         # nodes per coarse aggregate for the
                                     # two-level preconditioners
+    cg_warm_iters: int = 0,         # first K LM iterations solve CG with a
+                                    # cg_warm_mult-times looser forcing: far
+                                    # from the optimum the trust region
+                                    # accepts crude steps, so tight inner
+                                    # solves there only burn iterations
+    cg_warm_mult: float = 3.0,
     tile_k: int = 768,              # static per-tile dup-edge capacity for
                                     # loop_impl="tiled" (gn.tile_k_for picks
                                     # it from the actual edge distribution;
@@ -299,8 +305,10 @@ def lm_solve(
         # like the manhattan analog rejection-cascade chaotically at the
         # 10-iteration cap. No-op on trajectories where every step accepts
         # (the common case) — those are bit-identical with or without it.
-        tol_k = jnp.where(state.tighten, f32(cg_tolerance * 0.1),
+        tol_k = jnp.where(state.k < cg_warm_iters,
+                          f32(cg_tolerance * cg_warm_mult),
                           f32(cg_tolerance))
+        tol_k = jnp.where(state.tighten, f32(cg_tolerance * 0.1), tol_k)
         sol = pcg_ops.pcg_nodes(
             mv_red, pc, red.rhs_n,
             max_iterations=max_cg_iterations, r_tolerance=tol_k,
@@ -444,6 +452,8 @@ def solve_problem(problem: Problem, solver_cfg,
         use_switch=use_switch,
         bcr_levels=getattr(solver_cfg, "bcr_levels", None),
         coarse_group=getattr(solver_cfg, "coarse_group", 32),
+        cg_warm_iters=getattr(solver_cfg, "cg_warm_iters", 0),
+        cg_warm_mult=getattr(solver_cfg, "cg_warm_mult", 3.0),
         loop_impl=loop_impl,
         tile_k=tile_k if tile_k is not None else 768,
     )
