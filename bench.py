@@ -95,7 +95,7 @@ def main():
                 # across perturbed instances (BASELINE.md)
                 r = lm.lm_solve(p_i, max_iterations=10,
                                 preconditioner="band+coarse",
-                                coarse_group=64,
+                                coarse_group=64, bcr_levels=2,
                                 loop_impl="tiledrows", tile_k=tile_k)
                 return cost_acc + r.final_cost, r.final_cost
             acc, _ = jax.lax.fori_loop(

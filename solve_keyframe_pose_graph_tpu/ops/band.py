@@ -123,20 +123,15 @@ def bcr_factorize(A, C, group: int, max_levels: int | None = None
     (SPD-preserving), dropping band coupling beyond ~group*2^L nodes —
     scales where loop closures dominate anyway. Cuts both factorization and
     apply cost (each level is a serial round of small batched ops)."""
-    from solve_keyframe_pose_graph_tpu.ops.smallinv import (
-        block_gj_inv, gauss_jordan_inv,
-    )
+    from solve_keyframe_pose_graph_tpu.ops.smallinv import best_inv
 
     dt = A.dtype
     d = A.shape[-1]
 
-    def inv(M):
-        # blocked 6x6-pivot Gauss-Jordan when d allows: d/6 serial block
-        # steps instead of d scalar steps — the BCR factorization is bound
-        # by this serial chain (measured ~2x faster factorize at d=30)
-        if d % 6 == 0:
-            return block_gj_inv(M, b=6)
-        return gauss_jordan_inv(M)
+    # batched SPD inverse: ONE Pallas GJ kernel on TPU (the blocked XLA
+    # forms emit ~100 small ops whose dispatch dominated the LM intercept);
+    # blocked 6x6-pivot Gauss-Jordan elsewhere
+    inv = best_inv
 
     levels = []
     m = A.shape[0]

@@ -65,6 +65,12 @@ class _LoopState(NamedTuple):
     q: jax.Array
     t: jax.Array
     s: jax.Array
+    blocks: object               # GNBlocksT at the CURRENT accepted point
+                                 # (speculative assembly: each iteration
+                                 # assembles at its candidate, fusing the
+                                 # candidate cost evaluation into the same
+                                 # residual pass — one residual sweep per
+                                 # LM iteration instead of two)
     cost: jax.Array
     radius: jax.Array
     decrease_factor: jax.Array
@@ -172,13 +178,12 @@ def lm_solve(
 
     if residual_mode == "4dof":
         assemble_fn = gn_ops.assemble_4dof_t
-        cost_fn = gn_ops.evaluate_cost_4dof
     else:
         assemble_fn = partial(gn_ops.assemble_t, use_switch=use_switch)
-        cost_fn = partial(gn_ops.evaluate_cost, use_switch=use_switch)
 
     q0, t0, s0 = problem.q, problem.t, problem.switch
-    cost0 = cost_fn(problem, q0, t0, s0)
+    blocks0 = assemble_fn(problem, q0, t0, s0)
+    cost0 = blocks0.cost
     # dest-sorted duplicated loop incidence: once per solve, loop-invariant
     # (enables the scatter-free loop matvec — gn.loop_matvec_sorted)
     if loop_impl in ("sorted", "sorted36"):
@@ -232,11 +237,10 @@ def lm_solve(
         if preconditioner == "identity":
             # diagnostic: no preconditioning (cost-decomposition probes)
             return lambda r: r
-        Minv = smallinv.gauss_jordan_inv(gn_ops.t_blocks_to_aos(red.Dh))
+        Minv = smallinv.best_inv(gn_ops.t_blocks_to_aos(red.Dh))
         return lambda r: jnp.einsum("uij,uj->ui", Minv, r.T).T
 
-    def _assemble_reduce(q, t, s, radius):
-        blocks = assemble_fn(problem, q, t, s)
+    def _reduce(blocks, radius):
         diag_n = blocks.D[jnp.arange(0, 36, 7)]                # (6, Nc)
         diag_s = blocks.ds                                     # (Ec,)
         scale_n = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag_n, 0)))
@@ -250,7 +254,7 @@ def lm_solve(
         lm_s = d2_s / radius
         red = gn_ops.schur_reduce_t(blocks, problem, scale_n, scale_s,
                                     lm_n, lm_s)
-        return blocks, red, scale_n, scale_s, lm_n, lm_s
+        return red, scale_n, scale_s, lm_n, lm_s
 
     pc_frozen = None
     if freeze_preconditioner:
@@ -260,12 +264,12 @@ def lm_solve(
         assert preconditioner != "band*coarse", (
             "freeze_preconditioner is incompatible with the multiplicative "
             "two-grid (its internal matvec must match the live system)")
-        _, red0, *_ = _assemble_reduce(q0, t0, s0, initial_radius)
+        red0, *_ = _reduce(blocks0, initial_radius)
         pc_frozen = make_precond(red0)
 
     def body(state: _LoopState) -> _LoopState:
-        blocks, red, scale_n, scale_s, lm_n, lm_s = _assemble_reduce(
-            state.q, state.t, state.s, state.radius)
+        blocks = state.blocks
+        red, scale_n, scale_s, lm_n, lm_s = _reduce(blocks, state.radius)
 
         g_n_hat = blocks.g_n * scale_n                         # (6, Nc)
 
@@ -341,7 +345,12 @@ def lm_solve(
         q_new, t_new, s_new = _apply_step(
             state.q, state.t, state.s, dx_n, dx_s, problem.free_mask, renormalize
         )
-        new_cost = cost_fn(problem, q_new, t_new, s_new)
+        # speculative assembly at the candidate: its cost IS the candidate
+        # cost (same residual sweep also yields the blocks the next
+        # iteration needs if the step is accepted — and rejected steps are
+        # rare at the parity configuration)
+        blocks_new = assemble_fn(problem, q_new, t_new, s_new)
+        new_cost = blocks_new.cost
 
         cost_change = state.cost - new_cost
         rho = cost_change / jnp.where(
@@ -363,6 +372,8 @@ def lm_solve(
         t1 = jnp.where(accept, t_new, state.t)
         s1 = jnp.where(accept, s_new, state.s)
         cost1 = jnp.where(accept, new_cost, state.cost)
+        blocks1 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), blocks_new, blocks)
 
         # convergence tests (on accepted steps; Ceres also stops when the
         # radius collapses)
@@ -381,7 +392,7 @@ def lm_solve(
         )
 
         return _LoopState(
-            q=q1, t=t1, s=s1, cost=cost1, radius=radius,
+            q=q1, t=t1, s=s1, blocks=blocks1, cost=cost1, radius=radius,
             decrease_factor=decrease_factor, k=state.k + 1,
             accepted=state.accepted + accept.astype(jnp.int32),
             cg_total=state.cg_total + sol.iterations,
@@ -393,7 +404,7 @@ def lm_solve(
         return jnp.logical_and(state.k < max_iterations, jnp.logical_not(state.done))
 
     init = _LoopState(
-        q=q0, t=t0, s=s0, cost=cost0,
+        q=q0, t=t0, s=s0, blocks=blocks0, cost=cost0,
         radius=f32(initial_radius), decrease_factor=f32(2.0),
         k=jnp.int32(0), accepted=jnp.int32(0), cg_total=jnp.int32(0),
         done=jnp.asarray(False), tighten=jnp.asarray(False),
