@@ -31,28 +31,16 @@ CHAIN = 4
 REPS = 3
 
 
-# CG forcing + preconditioner for the chi2-PARITY rows (chi2 within ~2% of
-# — or better than — the fp64 exact-solve 10-iteration reference; tuned per
-# graph via benchmarks/exp_parity.py + exp_ab_solve.py sweeps on the chip).
-# manhattan is the structurally hardest (grid with few loops): the band-only
-# preconditioner leaves CG unconverged even at cap 300, while the two-level
-# band+coarse grid solves it outright (chi2 1.15 vs the fp64 reference's
-# 2.34 at the same 10-iteration cap).
-# The unified parity config: the two-level preconditioner with 64-node
-# aggregates at the DEFAULT forcing — verified rejection-free across
-# perturbed instances on bench/sphere/torus (chi2 +0.3% / +1.8% / +0.35%).
-# manhattan (fp32-conditioning-limited; see BASELINE.md) keeps the tighter
-# coarse:32 forcing.
+# THE unified chi2-parity configuration — ONE config for every graph class
+# (the reference needs zero per-dataset tuning, PoseGraphSLAM.cpp:1270-1272):
+# the two-level band+coarse:64 preconditioner at the default CG forcing,
+# verified rejection-free on bench/sphere/torus (chi2 +0.3% / +1.8% /
+# +0.35% vs the fp64 exact-solve trace). fp32-conditioning-limited graphs
+# (manhattan class) are handled by the ADAPTIVE PRECISION ESCALATION, not by
+# per-graph tuning: overshoot rejections in the fp32 solve trigger a fp64
+# re-solve (ops/lm.lm_solve_adaptive; measured in benchmarks/precision.json).
 PARITY_KW = dict(cg_tolerance=1e-2, max_cg_iterations=60,
                  preconditioner="band+coarse", coarse_group=64)
-PARITY_KW_BY_GRAPH = {
-    "circle_5k_10k": PARITY_KW,
-    "sphere2500-analog": PARITY_KW,
-    "manhattan3500-analog": dict(cg_tolerance=3e-3, max_cg_iterations=100,
-                                 preconditioner="band+coarse",
-                                 coarse_group=32),
-    "torus-analog": PARITY_KW,
-}
 
 
 def measure_tpu_solve(problem, max_iterations=10, **lm_kw):
@@ -95,14 +83,30 @@ def measure_tpu_solve(problem, max_iterations=10, **lm_kw):
 
 
 def measure_both_modes(problem, max_iterations=10, name=""):
-    """Default-quality row + chi2-parity row (per-graph parity config)."""
+    """Default-quality row + chi2-parity row (the ONE unified config) + the
+    adaptive-precision outcome when the fp32 solve shows distress."""
+    from solve_keyframe_pose_graph_tpu.ops import lm
+
     row = measure_tpu_solve(problem, max_iterations)
-    kw = PARITY_KW_BY_GRAPH.get(name, PARITY_KW)
-    par = measure_tpu_solve(problem, max_iterations, **kw)
+    par = measure_tpu_solve(problem, max_iterations, **PARITY_KW)
     row.update({"tpu_parity_ms": par["tpu_ms"],
                 "tpu_parity_chi2": par["tpu_chi2"],
                 "parity_cg_iterations": par["cg_iterations"],
-                "parity_config": {k: v for k, v in kw.items()}})
+                "parity_config": dict(PARITY_KW)})
+    # the PRODUCTION outcome: adaptive precision at the unified config. On
+    # healthy graphs this is the parity row (escalation never fires); on
+    # fp32-conditioning-limited graphs it reports the escalated fp64 result
+    # and its (host-wall) cost.
+    t0 = time.perf_counter()
+    res_a, rung = lm.lm_solve_adaptive(
+        problem, max_iterations=max_iterations, **PARITY_KW)
+    if rung:
+        row.update({
+            "adaptive_chi2": float(res_a.final_cost),
+            "adaptive_rung": rung,
+            "adaptive_host_wall_ms": round(
+                1e3 * (time.perf_counter() - t0), 1),
+        })
     return row
 
 

@@ -52,6 +52,9 @@ class SolverConfig:
                                         # full reduction
     coarse_group: int = 32              # nodes per aggregate in the
                                         # two-level preconditioners
+    band_impl: str = "aos"              # band-BCR pipeline: "em" (entry-
+                                        # major, ops/band_em.py) | "aos"
+                                        # (batched-matmul form, ops/band.py)
     # Loop-edge matvec formulation. "tiledrows" (tile-padded one-hot
     # contraction, the fastest measured in-context on TPU — BASELINE.md
     # round 3) needs a static per-tile capacity that the engine computes
@@ -62,6 +65,18 @@ class SolverConfig:
     # dtype for device solve: "float32" (TPU-native) or "float64" (parity
     # checks on CPU).
     dtype: str = "float32"
+    # Adaptive-precision escalation (the reference's fp64-robustness
+    # capability — Ceres doubles end-to-end, PoseGraphSLAM.cpp:1270): when
+    # the fp32 solve hits >= escalate_rejects OVERSHOOT rejections (rejected
+    # LM steps whose candidate cost rose materially — the distress signature
+    # of fp32-conditioning-limited graphs; benign noise-floor rejections on
+    # converged healthy solves are excluded, LMResult.distress_rejects), the
+    # solve is re-run from the same initial guesses up the precision ladder:
+    # "mixed" (fp64 assembly/cost + fp32 CG) first, full float64 (XLA
+    # double-double emulation on TPU) if mixed still shows distress.
+    # Healthy solves never escalate and pay nothing.
+    adaptive_fp64: bool = True
+    escalate_rejects: int = 2
     # Re-orthonormalize quaternions after each accepted LM step.
     renormalize: bool = True
 

@@ -77,7 +77,7 @@ def build_coarse_inverse_arrays(Dh, Bh, Aba_h, loop_b, loop_a,
     Nc = Dh.shape[-1]
     c = int(group)
     M = -(-Nc // c)
-    u = jnp.arange(Nc)
+    u = jnp.arange(Nc, dtype=jnp.int32)
     seg = u // c                                        # (Nc,)
 
     perm = jnp.asarray(_T36, jnp.int32)
@@ -111,7 +111,7 @@ def build_coarse_inverse_arrays(Dh, Bh, Aba_h, loop_b, loop_a,
         Hsub = Hsub + seg_sum(BTc)
 
     Hc = jnp.zeros((M * M, 36), dt)
-    dsl = jnp.arange(M)
+    dsl = jnp.arange(M, dtype=jnp.int32)
     Hc = Hc.at[dsl * M + dsl].add(Hdiag)                # M rows: cheap
     sub_idx = dsl * M + jnp.maximum(dsl - 1, 0)
     Hsub = Hsub.at[0].set(0.0)                          # seg 0 has no s-1

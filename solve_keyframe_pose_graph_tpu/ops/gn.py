@@ -400,7 +400,7 @@ def assemble_t(problem: Problem, q, t, s, use_switch: bool = True
     g_n = g_n + gpv.T
 
     # ---------------- inert padding ----------------
-    eyecol = jnp.zeros((36,), dt).at[jnp.arange(0, 36, 7)].set(1.0)
+    eyecol = jnp.zeros((36,), dt).at[jnp.arange(0, 36, 7, dtype=jnp.int32)].set(1.0)
     inactive = problem.node_mask < 0.5
     D = jnp.where(inactive[None, :], eyecol[:, None], D)
     g_n = g_n * problem.node_mask[None, :]
@@ -532,8 +532,8 @@ class ReducedSystemT:
 
 
 def _row_idx(dt=jnp.int32):
-    i = jnp.arange(36) // 6
-    j = jnp.arange(36) % 6
+    i = jnp.arange(36, dtype=jnp.int32) // 6
+    j = jnp.arange(36, dtype=jnp.int32) % 6
     return i, j
 
 
@@ -546,7 +546,7 @@ def schur_reduce_t(gn: GNBlocksT, problem: Problem, scale_n, scale_s,
     si = scale_n[ii]                   # (36, Nc)
     sj = scale_n[jj]
     Dh = gn.D * si * sj
-    diag_slots = jnp.arange(0, 36, 7)
+    diag_slots = jnp.arange(0, 36, 7, dtype=jnp.int32)
     Dh = Dh.at[diag_slots].add(lm_n)
     Bh_list = []
     for f in range(problem.fanout):
@@ -583,7 +583,7 @@ def schur_reduce_t(gn: GNBlocksT, problem: Problem, scale_n, scale_s,
     free = problem.free_mask[None, :]              # (1, Nc)
     fb = problem.free_mask[problem.loop_b][None, :]
     fa = problem.free_mask[problem.loop_a][None, :]
-    eyecol = jnp.zeros((36,), dt).at[jnp.arange(0, 36, 7)].set(1.0)
+    eyecol = jnp.zeros((36,), dt).at[jnp.arange(0, 36, 7, dtype=jnp.int32)].set(1.0)
     Dh = Dh * free + eyecol[:, None] * (1.0 - free)
     for f in range(problem.fanout):
         Bh = Bh.at[f].multiply(free * shift_lanes_down(free, f + 1))
@@ -627,7 +627,7 @@ class SortedIncidence:
 def build_sorted_incidence(problem: Problem) -> SortedIncidence:
     dest = jnp.concatenate([problem.loop_b, problem.loop_a])
     src = jnp.concatenate([problem.loop_a, problem.loop_b])
-    perm = jnp.argsort(dest, stable=True)
+    perm = jnp.argsort(dest, stable=True).astype(jnp.int32)
     dest_s = dest[perm]
     bounds = jnp.searchsorted(
         dest_s, jnp.arange(problem.n_cap + 1, dtype=dest.dtype))
@@ -774,7 +774,7 @@ def build_tiled_incidence(problem: Problem, tile_k: int) -> TiledIncidence:
     # from the slot grid entirely: sort them to a virtual tile PAST the end
     # so they never consume (or overflow) tile 0's capacity
     tile = jnp.where(valid, dest // TN, T)
-    order = jnp.argsort(tile, stable=True)
+    order = jnp.argsort(tile, stable=True).astype(jnp.int32)
     tile_s = tile[order]
     starts = jnp.searchsorted(tile_s, jnp.arange(T, dtype=tile_s.dtype))
     rank = jnp.arange(E2, dtype=jnp.int32) - starts[tile_s].astype(jnp.int32)
@@ -846,7 +846,7 @@ def loop_matvec_tiled_rows(inc: TiledIncidence, blkrows, p_n):
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=dt,
     )                                                   # (T, 36, TN)
-    Z = jnp.zeros((36, 6), dt).at[jnp.arange(36), jnp.arange(36) // 6].set(
+    Z = jnp.zeros((36, 6), dt).at[jnp.arange(36, dtype=jnp.int32), jnp.arange(36, dtype=jnp.int32) // 6].set(
         1.0)
     y = jnp.einsum("ci,tcn->itn", Z, W)                 # (6, T, TN)
     return y.reshape(6, T * TN)[:, : p_n.shape[-1]]
@@ -900,7 +900,7 @@ class SortedIncidence2:
 
 def build_sorted_incidence2(problem: Problem) -> SortedIncidence2:
     def side(idx):
-        perm = jnp.argsort(idx, stable=True)
+        perm = jnp.argsort(idx, stable=True).astype(jnp.int32)
         bounds = jnp.searchsorted(
             idx[perm], jnp.arange(problem.n_cap + 1, dtype=idx.dtype))
         return perm, bounds.astype(jnp.int32)

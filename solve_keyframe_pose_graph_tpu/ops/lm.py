@@ -57,6 +57,14 @@ class LMResult(NamedTuple):
     final_cost: jax.Array
     iterations: jax.Array          # total LM steps attempted
     successful_steps: jax.Array
+    distress_rejects: jax.Array    # rejected steps whose candidate cost
+                                   # OVERSHOT materially (> 0.1% above the
+                                   # current cost): the fp32-conditioning
+                                   # failure signature. Benign noise-floor
+                                   # rejections (candidate ~= current cost at
+                                   # the fp32 resolution limit, common on any
+                                   # converged solve) are excluded — they
+                                   # must not trigger the fp64 escalation.
     total_cg_iterations: jax.Array
     converged: jax.Array           # bool: hit a tolerance before the cap
 
@@ -76,6 +84,7 @@ class _LoopState(NamedTuple):
     decrease_factor: jax.Array
     k: jax.Array
     accepted: jax.Array
+    distress: jax.Array          # overshoot-rejection count (LMResult doc)
     cg_total: jax.Array
     done: jax.Array
     tighten: jax.Array           # bool: previous step was rejected ->
@@ -102,6 +111,7 @@ def _apply_step(q, t, s, dx_n, dx_s, node_mask, renormalize: bool):
         "freeze_preconditioner", "residual_mode", "use_switch",
         "bcr_levels", "outer_unroll", "matvec_impl", "coarse_group",
         "loop_impl", "cg_q_tolerance", "tile_k", "cg_warm_iters",
+        "precision", "band_impl",
     ),
 )
 def lm_solve(
@@ -169,20 +179,60 @@ def lm_solve(
                                     # sorted2 keeps the einsum operands
                                     # identical to scatter and only
                                     # replaces the two scatter-adds.
+    band_impl: str = "aos",         # band-BCR preconditioner pipeline:
+                                    # "em" (entry-major, lanes = batch —
+                                    # ops/band_em.py; no AoS relayouts, no
+                                    # tile-padding waste) | "aos" (the
+                                    # original (m,d,d) batched-matmul form,
+                                    # ops/band.py — kept as the differential
+                                    # oracle and for A/B measurement)
+    precision: str = "native",      # "native" (problem dtype end-to-end) |
+                                    # "mixed" (float64 residual/Jacobian
+                                    # assembly, parameter state and
+                                    # accept/reject cost arithmetic; the
+                                    # reduced system, preconditioner and CG
+                                    # stay in the problem dtype). The cheap
+                                    # middle rung of the adaptive-precision
+                                    # ladder: fixes fp32-conditioning-
+                                    # limited graphs whose failure mode is
+                                    # assembly/cost cancellation (manhattan
+                                    # class) without paying the ~50x of an
+                                    # emulated-fp64 CG loop on TPU. Callers
+                                    # must trace under jax.enable_x64().
 ) -> LMResult:
     dt = problem.dtype
     f32 = lambda v: jnp.asarray(v, dt)
+    mixed = precision == "mixed" and dt != jnp.float64
+    hi = jnp.float64 if mixed else dt
+    fhi = lambda v: jnp.asarray(v, hi)
 
     if matvec_impl == "auto":
         matvec_impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if matvec_impl == "pallas" and jax.config.read("jax_enable_x64"):
+        # Mosaic aborts on kernels traced under the x64 context (64-bit
+        # vector layouts); the XLA band matvec measured within ~0.1 ms/iter
+        matvec_impl = "xla"
 
-    if residual_mode == "4dof":
-        assemble_fn = gn_ops.assemble_4dof_t
+    if mixed:
+        from solve_keyframe_pose_graph_tpu.solver.problem import (
+            problem_astype,
+        )
+        problem_hi = problem_astype(problem, jnp.float64)
     else:
-        assemble_fn = partial(gn_ops.assemble_t, use_switch=use_switch)
+        problem_hi = problem
+    if residual_mode == "4dof":
+        assemble_fn = lambda q, t, s: gn_ops.assemble_4dof_t(
+            problem_hi, q, t, s)
+    else:
+        assemble_fn = lambda q, t, s: gn_ops.assemble_t(
+            problem_hi, q, t, s, use_switch=use_switch)
+    # demote the hi-precision blocks for the linear algebra (no-op when
+    # precision == "native")
+    _lo = lambda blocks: (jax.tree_util.tree_map(f32, blocks)
+                          if mixed else blocks)
 
-    q0, t0, s0 = problem.q, problem.t, problem.switch
-    blocks0 = assemble_fn(problem, q0, t0, s0)
+    q0, t0, s0 = problem_hi.q, problem_hi.t, problem_hi.switch
+    blocks0 = assemble_fn(q0, t0, s0)
     cost0 = blocks0.cost
     # dest-sorted duplicated loop incidence: once per solve, loop-invariant
     # (enables the scatter-free loop matvec — gn.loop_matvec_sorted)
@@ -209,16 +259,24 @@ def lm_solve(
         mv (the reduced matvec) is required by the multiplicative two-grid
         variant only."""
         if preconditioner in ("band", "band+coarse", "band*coarse"):
-            Dh_aos = gn_ops.t_blocks_to_aos(red.Dh)
-            Bh_aos = jnp.stack([gn_ops.t_blocks_to_aos(red.Bh[f])
-                                for f in range(problem.fanout)])
-            A_band, C_band, _ = band_ops.build_band_system(
-                Dh_aos, Bh_aos, group=problem.fanout
-            )
-            fac = band_ops.bcr_factorize(A_band, C_band,
-                                         group=problem.fanout,
-                                         max_levels=bcr_levels)
-            band = lambda r: band_ops.band_precond_apply(fac, r.T).T
+            if band_impl == "em":
+                from solve_keyframe_pose_graph_tpu.ops import band_em
+                A_em, C_em, _ = band_em.build_band_system_em(
+                    red.Dh, red.Bh, group=problem.fanout)
+                fac_em = band_em.bcr_factorize_em(
+                    A_em, C_em, max_levels=bcr_levels)
+                band = lambda r: band_em.band_precond_apply_em(fac_em, r)
+            else:
+                Dh_aos = gn_ops.t_blocks_to_aos(red.Dh)
+                Bh_aos = jnp.stack([gn_ops.t_blocks_to_aos(red.Bh[f])
+                                    for f in range(problem.fanout)])
+                A_band, C_band, _ = band_ops.build_band_system(
+                    Dh_aos, Bh_aos, group=problem.fanout
+                )
+                fac = band_ops.bcr_factorize(A_band, C_band,
+                                             group=problem.fanout,
+                                             max_levels=bcr_levels)
+                band = lambda r: band_ops.band_precond_apply(fac, r.T).T
             if preconditioner == "band":
                 return band
             Hc_inv = coarse_ops.build_coarse_inverse(red, problem,
@@ -241,7 +299,7 @@ def lm_solve(
         return lambda r: jnp.einsum("uij,uj->ui", Minv, r.T).T
 
     def _reduce(blocks, radius):
-        diag_n = blocks.D[jnp.arange(0, 36, 7)]                # (6, Nc)
+        diag_n = blocks.D[jnp.arange(0, 36, 7, dtype=jnp.int32)]                # (6, Nc)
         diag_s = blocks.ds                                     # (Ec,)
         scale_n = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag_n, 0)))
         scale_s = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag_s, 0)))
@@ -264,11 +322,11 @@ def lm_solve(
         assert preconditioner != "band*coarse", (
             "freeze_preconditioner is incompatible with the multiplicative "
             "two-grid (its internal matvec must match the live system)")
-        red0, *_ = _reduce(blocks0, initial_radius)
+        red0, *_ = _reduce(_lo(blocks0), initial_radius)
         pc_frozen = make_precond(red0)
 
     def body(state: _LoopState) -> _LoopState:
-        blocks = state.blocks
+        blocks = _lo(state.blocks)
         red, scale_n, scale_s, lm_n, lm_s = _reduce(blocks, state.radius)
 
         g_n_hat = blocks.g_n * scale_n                         # (6, Nc)
@@ -339,28 +397,33 @@ def lm_solve(
         model_cost_change = -gTdx - 0.5 * dxHdx
 
         # un-scale and apply (step application is AoS over nodes; the
-        # transpose of a (6,Nc) vector is cheap)
-        dx_n = (dxh_n * scale_n).T
-        dx_s = dxh_s * scale_s
+        # transpose of a (6,Nc) vector is cheap). In mixed precision the
+        # step is promoted so the parameter state stays float64.
+        dx_n = fhi((dxh_n * scale_n).T)
+        dx_s = fhi(dxh_s * scale_s)
         q_new, t_new, s_new = _apply_step(
-            state.q, state.t, state.s, dx_n, dx_s, problem.free_mask, renormalize
+            state.q, state.t, state.s, dx_n, dx_s, problem_hi.free_mask,
+            renormalize
         )
         # speculative assembly at the candidate: its cost IS the candidate
         # cost (same residual sweep also yields the blocks the next
         # iteration needs if the step is accepted — and rejected steps are
         # rare at the parity configuration)
-        blocks_new = assemble_fn(problem, q_new, t_new, s_new)
+        blocks_new = assemble_fn(q_new, t_new, s_new)
         new_cost = blocks_new.cost
 
+        # accept/reject arithmetic in hi precision: the cost difference of
+        # two nearly equal chi^2 values is exactly the cancellation fp32
+        # cannot survive on ill-conditioned graphs
         cost_change = state.cost - new_cost
-        rho = cost_change / jnp.where(
-            model_cost_change <= 0, f32(1.0), model_cost_change
-        )
+        mcc_hi = fhi(model_cost_change)
+        rho = cost_change / jnp.where(mcc_hi <= 0, fhi(1.0), mcc_hi)
         step_valid = model_cost_change > 0
         accept = jnp.logical_and(step_valid, rho > MIN_RELATIVE_DECREASE)
 
-        # radius updates (Ceres LevenbergMarquardtStrategy)
-        shrink = 1.0 - (2.0 * rho - 1.0) ** 3
+        # radius updates (Ceres LevenbergMarquardtStrategy); the radius
+        # feeds the lo-precision reduce, so it stays in the problem dtype
+        shrink = f32(1.0 - (2.0 * rho - 1.0) ** 3)
         radius_acc = jnp.minimum(
             state.radius / jnp.maximum(f32(1.0 / 3.0), shrink), f32(MAX_RADIUS)
         )
@@ -391,10 +454,19 @@ def lm_solve(
             radius < MIN_RADIUS,
         )
 
+        # distress signature: a REJECTED step that moved the cost materially
+        # UP (overshooting Newton step from fp32 assembly error). Rejections
+        # at the fp32 noise floor (candidate within 0.1% of current) are the
+        # benign end-of-descent pattern and are not counted.
+        overshoot = jnp.logical_and(
+            jnp.logical_not(accept),
+            new_cost > state.cost * fhi(1.0 + 1e-3))
+
         return _LoopState(
             q=q1, t=t1, s=s1, blocks=blocks1, cost=cost1, radius=radius,
             decrease_factor=decrease_factor, k=state.k + 1,
             accepted=state.accepted + accept.astype(jnp.int32),
+            distress=state.distress + overshoot.astype(jnp.int32),
             cg_total=state.cg_total + sol.iterations,
             done=done,
             tighten=jnp.logical_not(accept),
@@ -406,7 +478,8 @@ def lm_solve(
     init = _LoopState(
         q=q0, t=t0, s=s0, blocks=blocks0, cost=cost0,
         radius=f32(initial_radius), decrease_factor=f32(2.0),
-        k=jnp.int32(0), accepted=jnp.int32(0), cg_total=jnp.int32(0),
+        k=jnp.int32(0), accepted=jnp.int32(0), distress=jnp.int32(0),
+        cg_total=jnp.int32(0),
         done=jnp.asarray(False), tighten=jnp.asarray(False),
     )
     if outer_unroll:
@@ -431,8 +504,70 @@ def lm_solve(
         q=final.q, t=final.t, switch=final.s,
         initial_cost=cost0, final_cost=final.cost,
         iterations=final.k, successful_steps=final.accepted,
+        distress_rejects=final.distress,
         total_cg_iterations=final.cg_total, converged=final.done,
     )
+
+
+def lm_solve_adaptive(problem: Problem, *, escalate_rejects: int = 2,
+                      **lm_kw) -> tuple[LMResult, bool]:
+    """Adaptive-precision LM: fp32 solve first, fp64 re-solve on distress.
+
+    The reference is fp64 end-to-end (Ceres doubles + SPARSE_NORMAL_CHOLESKY,
+    /root/reference/src/PoseGraphSLAM.cpp:1270, CeresResidues.h:19-222) and
+    never produces a chaotic outcome. Our fp32 device path is ~2% faster per
+    FLOP but on ill-conditioned graphs (manhattan-class grids) the fp32
+    Hessian's ~1e-3 relative assembly error turns into genuinely
+    overshooting Newton steps that the trust region rejects — even with
+    near-exact fp32 CG (BASELINE.md manhattan note). The observable symptom
+    is OVERSHOOT rejections — rejected LM steps whose candidate cost rose
+    materially (LMResult.distress_rejects). Plain rejection counts are NOT
+    the signal: any converged fp32 solve can benignly reject a final step
+    at its noise floor (candidate within ~1e-7 of current cost), and those
+    must not trigger a ~50x-cost fp64 re-solve.
+
+    Policy: run the fp32 solve; if distress_rejects >= escalate_rejects,
+    re-run the whole solve from the same initial guesses in float64 (XLA
+    emulates fp64 on TPU as double-double arithmetic — measured ~1e-14
+    accurate) with the XLA matvec (Pallas kernels are fp32-only). On healthy
+    graphs the escalation never fires and costs nothing but the two scalar
+    fetches this wrapper does anyway.
+
+    Returns (result, escalated)."""
+    res = lm_solve(problem, **lm_kw)
+    if problem.dtype == jnp.float64:
+        return res, False
+    if int(res.distress_rejects) < escalate_rejects:
+        return res, False
+    return escalate_resolve(problem, lm_kw, escalate_rejects)
+
+
+def escalate_resolve(problem: Problem, lm_kw: dict, escalate_rejects: int
+                     ) -> tuple[LMResult, str]:
+    """The escalation ladder, entered once an fp32 solve has shown distress:
+    first the cheap "mixed" rung (fp64 assembly/cost + fp32 CG — fixes the
+    assembly/cost-cancellation failure mode at ~2x fp32 cost), then the full
+    fp64 re-solve if mixed still shows overshoot rejections. Returns
+    (result, rung)."""
+    res_m = mixed_resolve(problem, lm_kw)
+    if int(res_m.distress_rejects) < escalate_rejects:
+        return res_m, "mixed"
+    return fp64_resolve(problem, lm_kw), "fp64"
+
+
+def mixed_resolve(problem: Problem, lm_kw: dict) -> LMResult:
+    """Re-run a solve with precision="mixed" (fp64 assembly + parameter
+    state, fp32 linear algebra). Traced under the scoped jax.enable_x64()
+    like fp64_resolve; the Pallas matvec still applies (the CG operands
+    stay fp32)."""
+    import jax as _jax
+
+    kw = dict(lm_kw)
+    kw["precision"] = "mixed"
+    with _jax.enable_x64():
+        res = lm_solve(problem, **kw)
+        _jax.block_until_ready(res)
+    return res
 
 
 def solve_problem(problem: Problem, solver_cfg,
@@ -445,11 +580,62 @@ def solve_problem(problem: Problem, solver_cfg,
     the caller from HOST edge arrays (gn.tile_k_for). The tiled impls are
     only safe with a data-derived capacity, so when the config asks for one
     and tile_k is None this falls back to the capacity-free "sorted2"."""
+    res, _ = solve_problem_adaptive(
+        problem, solver_cfg, residual_mode=residual_mode,
+        use_switch=use_switch, tile_k=tile_k)
+    return res
+
+
+def solve_problem_adaptive(problem: Problem, solver_cfg,
+                           residual_mode: str = "6dof",
+                           use_switch: bool = True,
+                           tile_k: int | None = None
+                           ) -> tuple[LMResult, bool]:
+    """solve_problem + the adaptive fp64 escalation (config-gated by
+    solver_cfg.adaptive_fp64 / escalate_rejects). Returns (res, escalated)
+    so callers (engine solve_stats, benchmarks) can report escalations."""
+    kw = cfg_lm_kwargs(solver_cfg, residual_mode=residual_mode,
+                       use_switch=use_switch, tile_k=tile_k)
+    if getattr(solver_cfg, "adaptive_fp64", False):
+        return lm_solve_adaptive(
+            problem,
+            escalate_rejects=getattr(solver_cfg, "escalate_rejects", 2),
+            **kw)
+    return lm_solve(problem, **kw), False
+
+
+def fp64_resolve(problem: Problem, lm_kw: dict) -> LMResult:
+    """Re-run a solve in float64 (the escalation leg of lm_solve_adaptive,
+    callable separately by hosts that defer the rejection check — e.g. the
+    streaming engine's async collect path).
+
+    The f64 trace runs under the SCOPED jax.enable_x64() context, so the
+    global x64 flag — and with it every fp32 program's trace context and
+    integer default widths — is untouched. Inside the scope, dtype-less
+    integer constructors would default to int64, which the TPU compiler
+    cannot lower (layout check: bitwidth <= 32); all traced index
+    constructors in ops/ are therefore pinned to int32 explicitly."""
+    import jax as _jax
+
+    from solve_keyframe_pose_graph_tpu.solver.problem import problem_astype
+
+    kw64 = dict(lm_kw)
+    kw64["matvec_impl"] = "xla"      # Pallas kernels are fp32-only
+    with _jax.enable_x64():
+        res = lm_solve(problem_astype(problem, jnp.float64), **kw64)
+        _jax.block_until_ready(res)
+    return res
+
+
+def cfg_lm_kwargs(solver_cfg, residual_mode: str = "6dof",
+                  use_switch: bool = True,
+                  tile_k: int | None = None) -> dict:
+    """config.SolverConfig -> lm_solve keyword dict (shared by every host
+    entry point so the engine, CLI, and benchmarks solve identically)."""
     loop_impl = getattr(solver_cfg, "loop_impl", "sorted2")
     if loop_impl in ("tiled", "tiledrows") and tile_k is None:
         loop_impl = "sorted2"
-    return lm_solve(
-        problem,
+    return dict(
         max_iterations=solver_cfg.max_lm_iterations,
         max_cg_iterations=solver_cfg.max_cg_iterations,
         cg_tolerance=solver_cfg.cg_tolerance,
@@ -465,6 +651,7 @@ def solve_problem(problem: Problem, solver_cfg,
         coarse_group=getattr(solver_cfg, "coarse_group", 32),
         cg_warm_iters=getattr(solver_cfg, "cg_warm_iters", 0),
         cg_warm_mult=getattr(solver_cfg, "cg_warm_mult", 3.0),
+        band_impl=getattr(solver_cfg, "band_impl", "aos"),
         loop_impl=loop_impl,
         tile_k=tile_k if tile_k is not None else 768,
     )

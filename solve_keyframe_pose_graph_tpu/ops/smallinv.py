@@ -113,7 +113,12 @@ def best_inv(A, b: int = 6):
     slower through the kernel)."""
     d = A.shape[-1]
     if (jax.default_backend() == "tpu" and A.dtype == jnp.float32
-            and d >= 12):
+            and d >= 12
+            # Mosaic cannot lower kernels traced under x64 (its layout
+            # inference aborts on 64-bit vector types that the x64 trace
+            # context introduces); the mixed-precision solve path therefore
+            # takes the XLA blocked form
+            and not jax.config.read("jax_enable_x64")):
         return pallas_gj_inv(A)
     if d % b == 0:
         return block_gj_inv(A, b=b)

@@ -87,6 +87,13 @@ class SolverEngine:
         self.state_lock = threading.RLock()
         # in-flight async solve (stream.async_dispatch): see trigger()
         self._pending = None
+        # (problem, lm_kwargs) of the latest dispatch, for the deferred
+        # adaptive-fp64 escalation check in _finish_solve
+        self._last_dispatch = None
+        # lazily-built ICI device mesh (config.mesh.n_devices > 1): the
+        # production entry to the GSPMD-sharded solve path. SURVEY.md
+        # section 2.3 DCN/ICI row; parity certified in test_cli_g2o.py.
+        self._mesh = None
 
     # ------------------------------------------------------------------
     # opt-variable access (PoseGraphSLAM.h:112-123 getters)
@@ -281,6 +288,23 @@ class SolverEngine:
     def _finish_solve(self, res, node_len, edge_len, node_worlds, tid, t0
                       ) -> None:
         timer = self.timer
+        # adaptive-precision escalation (reference capability: fp64 Ceres
+        # end-to-end never yields a chaotic outcome, PoseGraphSLAM.cpp:1270;
+        # see config.SolverConfig.adaptive_fp64). Checked HERE — after the
+        # device fetch — so the async dispatch path stays non-blocking.
+        escalated = False
+        cfg = self.config
+        if (getattr(cfg.solver, "adaptive_fp64", False)
+                and cfg.solver.dtype != "float64"
+                and self._last_dispatch is not None):
+            k = getattr(cfg.solver, "escalate_rejects", 2)
+            if int(res.distress_rejects) >= k:
+                from solve_keyframe_pose_graph_tpu.ops import lm as lm_ops
+                problem, kw = self._last_dispatch
+                with timer.phase("fp64_escalation"):
+                    res, escalated = lm_ops.escalate_resolve(problem, kw, k)
+                    res = jax.device_get(res)
+        self._last_dispatch = None
         # write back (under state_lock so a concurrent assemble() never sees
         # a half-updated pose set or a watermark ahead of the data). The
         # solve_stats append lives in the SAME locked section: its length is
@@ -305,6 +329,7 @@ class SolverEngine:
                 "lm_iterations": int(res.iterations),
                 "successful_steps": int(res.successful_steps),
                 "cg_iterations": int(res.total_cg_iterations),
+                "fp64_escalated": escalated,
                 "trigger_wall_ms": 1000.0 * (time.perf_counter() - t0),
             })
 
@@ -448,17 +473,33 @@ class SolverEngine:
                                   prior_q, prior_t, prior_w, n_cap, e_cap,
                                   p_cap, dtype, ea, eb, eq, et, ew, loop_valid,
                                   vio_q, vio_t)
+        if cfg.mesh.n_devices > 1:
+            # multi-chip: place the Problem on the ICI mesh and let GSPMD
+            # shard the whole LM program (trajectory-contiguous node shards,
+            # halo'd band, gathered loop rows — parallel/sharding.py). The
+            # mesh is built once; capacities are power-of-two buckets so any
+            # power-of-two mesh divides them.
+            from solve_keyframe_pose_graph_tpu.parallel.sharding import (
+                make_mesh, shard_problem)
+            if (self._mesh is None
+                    or self._mesh.devices.size != cfg.mesh.n_devices):
+                self._mesh = make_mesh(cfg.mesh.n_devices, cfg.mesh.axis_name)
+            problem = shard_problem(problem, self._mesh, cfg.mesh.axis_name)
         # static per-tile capacity for the tiled loop matvec, from the HOST
         # edge arrays (bucketed so compiles amortize like capacity buckets)
         tile_k = None
         if cfg.solver.loop_impl in ("tiled", "tiledrows"):
             from solve_keyframe_pose_graph_tpu.ops.gn import tile_k_for
             tile_k = tile_k_for(eb, ea, n_cap, loop_mask=loop_valid)
-        from solve_keyframe_pose_graph_tpu.ops.lm import solve_problem
-        return solve_problem(
-            problem, cfg.solver, residual_mode=cfg.residual.mode,
-            use_switch=cfg.residual.use_switch_constraints,
-            tile_k=tile_k)
+        from solve_keyframe_pose_graph_tpu.ops import lm as lm_ops
+        kw = lm_ops.cfg_lm_kwargs(
+            cfg.solver, residual_mode=cfg.residual.mode,
+            use_switch=cfg.residual.use_switch_constraints, tile_k=tile_k)
+        res = lm_ops.lm_solve(problem, **kw)
+        # stash for the deferred escalation check in _finish_solve (the
+        # async path must not block on a scalar fetch here)
+        self._last_dispatch = (problem, kw)
+        return res
 
     def _build(self, node_len, edge_len, node_worlds, prior_idx, prior_q,
                prior_t, prior_w, n_cap, e_cap, p_cap, dtype, ea, eb, eq, et,

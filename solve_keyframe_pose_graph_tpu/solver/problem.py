@@ -287,6 +287,22 @@ def build_problem_np(
     return transfer_problem(host)
 
 
+def problem_astype(p: Problem, dtype) -> Problem:
+    """Cast a Problem's float leaves to `dtype` (int leaves untouched).
+
+    Used by the adaptive-precision escalation (ops/lm.lm_solve_adaptive):
+    the fp32 observations are a one-time ~1e-7 relative rounding of the fp64
+    host inputs — a negligible perturbation of the PROBLEM — while the
+    instability the escalation fixes is fp32 error accumulated DURING the
+    solve (assembly cancellation + cost comparisons), which the fp64 re-solve
+    removes. Casting device-side avoids a host round trip."""
+    vals = {}
+    for f in dataclasses.fields(Problem):
+        a = getattr(p, f.name)
+        vals[f.name] = a if a.dtype == jnp.int32 else jnp.asarray(a, dtype)
+    return Problem(**vals)
+
+
 @partial(jax.jit, static_argnames=("sizes", "shapes", "kinds"))
 def _unpack_problem(fbuf, ibuf, sizes, shapes, kinds):
     out = []

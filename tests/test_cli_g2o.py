@@ -187,3 +187,40 @@ def test_sharded_two_level_preconditioner_matches_single_device():
         np.asarray(res0.final_cost), np.asarray(res1.final_cost), rtol=2e-2)
     np.testing.assert_allclose(
         np.asarray(res0.t), np.asarray(res1.t), atol=5e-2)
+
+
+def test_cli_config_driven_sharded_solve(sphere_g2o, tmp_path):
+    """mesh.n_devices in the config shards the PRODUCTION solve (VERDICT
+    round-2 item #4): `kpg-solve solve --config` with n_devices=8 must run
+    the GSPMD path end-to-end through the engine on the virtual CPU mesh and
+    land the same solution as the unsharded CLI solve."""
+    from solve_keyframe_pose_graph_tpu.config import Config
+
+    path, _ = sphere_g2o
+    cfgd = json.loads(Config().to_json())
+    cfgd["mesh"]["n_devices"] = 8
+    cfgd["solver"]["max_lm_iterations"] = 6
+    cfgp = str(tmp_path / "mesh.json")
+    json.dump(cfgd, open(cfgp, "w"))
+
+    out_sh = str(tmp_path / "opt_sharded.json")
+    rc = cli.main(["solve", "--input", path, "--config", cfgp,
+                   "--output", out_sh])
+    assert rc == 0
+    out_1 = str(tmp_path / "opt_single.json")
+    rc = cli.main(["solve", "--input", path, "--output", out_1,
+                   "--max-iters", "6"])
+    assert rc == 0
+
+    sol_sh = json.load(open(out_sh))
+    sol_1 = json.load(open(out_1))
+    # fp32 reduction order differs across shards -> loose tolerance
+    np.testing.assert_allclose(sol_sh["last_solve"]["final_cost"],
+                               sol_1["last_solve"]["final_cost"], rtol=1e-2)
+    def _ts(sol):
+        # w_T_c is the semicolon/comma matrix codec; column 3 = translation
+        return np.array([
+            [float(row.split(",")[3]) for row in n["w_T_c"].split(";")[:3]]
+            for n in sol["nodes"]])
+
+    np.testing.assert_allclose(_ts(sol_sh), _ts(sol_1), atol=5e-2)

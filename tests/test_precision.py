@@ -1,0 +1,80 @@
+"""Adaptive-precision escalation ladder (reference capability: fp64 Ceres
+end-to-end never yields a chaotic outcome, /root/reference/src/
+PoseGraphSLAM.cpp:1270, CeresResidues.h:19-222 templated on double).
+
+The ladder (ops/lm.lm_solve_adaptive): fp32 solve first; if it rejects
+>= escalate_rejects LM steps, re-solve with precision="mixed" (fp64
+assembly/cost + fp32 linear algebra); if mixed still rejects, full fp64.
+These tests exercise the machinery on CPU with a well-conditioned graph
+(forced escalation via escalate_rejects=0) — the quality outcome on the
+actually fp32-hostile manhattan class is measured on hardware in
+benchmarks/exp_precision.py -> benchmarks/precision.json.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from solve_keyframe_pose_graph_tpu.ops.lm import (
+    lm_solve,
+    lm_solve_adaptive,
+    mixed_resolve,
+)
+from solve_keyframe_pose_graph_tpu.solver.problem import problem_astype
+from tests.test_lm_solver import build_circle_problem
+
+
+def test_problem_astype_casts_float_leaves_only():
+    _, prob = build_circle_problem(n=60, n_loops=8, dtype=np.float32)
+    p64 = problem_astype(prob, jnp.float64)
+    assert p64.q.dtype == jnp.float64
+    assert p64.t.dtype == jnp.float64
+    assert p64.switch.dtype == jnp.float64
+    assert p64.loop_a.dtype == jnp.int32          # int leaves untouched
+    assert p64.loop_b.dtype == jnp.int32
+    np.testing.assert_allclose(np.array(p64.t), np.array(prob.t), rtol=1e-6)
+
+
+def test_healthy_fp32_solve_does_not_escalate():
+    """A converged healthy solve may benignly reject trailing steps at its
+    fp32 noise floor; those must NOT count as distress (the escalation is a
+    ~50x-cost fp64 re-solve). Run well past convergence so noise-floor
+    rejections actually occur, then assert distress stayed 0 at the DEFAULT
+    threshold."""
+    _, prob = build_circle_problem(n=120, n_loops=16, dtype=np.float32)
+    res, rung = lm_solve_adaptive(prob, escalate_rejects=2,
+                                  max_iterations=14)
+    rejected = int(res.iterations) - int(res.successful_steps)
+    assert int(res.distress_rejects) == 0, (rejected, int(res.distress_rejects))
+    assert rung is False
+    assert res.q.dtype == jnp.float32
+
+
+def test_forced_escalation_climbs_to_fp64_and_matches_direct_fp64():
+    """escalate_rejects=0 always 'distresses': the ladder must climb mixed ->
+    fp64 and the escalated result must match a direct fp64 solve exactly
+    (same program, same inputs)."""
+    _, prob = build_circle_problem(n=120, n_loops=16, dtype=np.float32)
+    res, rung = lm_solve_adaptive(prob, escalate_rejects=0, max_iterations=8)
+    assert rung == "fp64"
+    assert res.q.dtype == jnp.float64
+
+    res64 = lm_solve(problem_astype(prob, jnp.float64), max_iterations=8,
+                     matvec_impl="xla")
+    np.testing.assert_allclose(
+        float(res.final_cost), float(res64.final_cost), rtol=1e-12)
+
+
+def test_mixed_precision_matches_native_on_healthy_graph():
+    """precision="mixed" (fp64 assembly + parameter state, fp32 reduced
+    system/CG) on a well-conditioned graph must land the same optimum as the
+    native fp32 solve — it only changes WHERE rounding happens, and here
+    neither rounding matters."""
+    _, prob = build_circle_problem(n=120, n_loops=16, dtype=np.float32)
+    res32 = lm_solve(prob, max_iterations=10)
+    resm = mixed_resolve(prob, dict(max_iterations=10))
+    # parameter state is carried in fp64
+    assert resm.q.dtype == jnp.float64
+    assert float(resm.final_cost) <= 1.02 * float(res32.final_cost) + 1e-9
+    # and the costs agree to fp32-level accuracy
+    np.testing.assert_allclose(
+        float(resm.final_cost), float(res32.final_cost), rtol=5e-3)
