@@ -171,11 +171,32 @@ def _prev_blocks(x):
     return jnp.concatenate([zero, x[:-1]], axis=0)
 
 
+def cast_factor(fac: BCRFactor, dtype) -> BCRFactor:
+    """Cast the factor TENSORS (not the apply arithmetic) to `dtype` —
+    bfloat16 halves the dominant HBM stream of every CG iteration (the
+    (m, d, d) level tensors re-read per application). The apply stays a
+    fixed, symmetric linear-ish operator; the ~4e-3 relative rounding is a
+    preconditioner perturbation CG absorbs (validated by unchanged
+    iteration counts — see BASELINE.md round 3)."""
+    c = lambda a: a.astype(dtype)
+    return BCRFactor(
+        levels=tuple((c(Ai), c(Co), c(Ce)) for (Ai, Co, Ce) in fac.levels),
+        root_inv=c(fac.root_inv), group=fac.group, n_pad=fac.n_pad)
+
+
 def bcr_solve(fac: BCRFactor, b):
     """Apply the factored band inverse to b (n_pad//group, d) node-stacked
-    rhs. Returns x of the same shape."""
+    rhs. Returns x of the same shape (in b's dtype).
+
+    When the factor tensors are lower precision (cast_factor), the vector
+    operands are cast to match AT EACH USE — loop-variant casts fuse into
+    the einsums instead of hoisting f32 copies of the (loop-invariant)
+    factor out of the CG loop — and every contraction accumulates in b's
+    dtype via preferred_element_type."""
     d = fac.root_inv.shape[-1]
     dt = b.dtype
+    lo = fac.root_inv.dtype
+    cv = (lambda v: v.astype(lo)) if lo != dt else (lambda v: v)
 
     # forward: reduce rhs level by level
     bs = [b]
@@ -185,14 +206,17 @@ def bcr_solve(fac: BCRFactor, b):
         CoT = jnp.swapaxes(Co, -1, -2)
         b = (
             be
-            - jnp.einsum("mij,mjk,mk->mi", CoT, Aoinv, bo)
-            - jnp.einsum("mij,mjk,mk->mi", Ce, _prev_blocks(Aoinv), bo_prev)
+            - jnp.einsum("mij,mjk,mk->mi", CoT, Aoinv, cv(bo),
+                         preferred_element_type=dt)
+            - jnp.einsum("mij,mjk,mk->mi", Ce, _prev_blocks(Aoinv),
+                         cv(bo_prev), preferred_element_type=dt)
         )
         bs.append(b)
 
     # coarse solve (exact root at m == 1; block-diagonal approx when the
     # reduction was truncated)
-    x = jnp.einsum("mij,mj->mi", fac.root_inv, b)        # (m_coarse, d)
+    x = jnp.einsum("mij,mj->mi", fac.root_inv, cv(b),
+                   preferred_element_type=dt)            # (m_coarse, d)
 
     # backward: recover odd blocks
     for (Aoinv, Co, Ce), b_lvl in zip(reversed(fac.levels), reversed(bs[:-1])):
@@ -201,14 +225,15 @@ def bcr_solve(fac: BCRFactor, b):
         x_even = x                      # (m2, d)
         zero = jnp.zeros((1, d), dt)
         x_even_next = jnp.concatenate([x_even[1:], zero], axis=0)
-        Ce_next = jnp.concatenate([Ce[1:], jnp.zeros((1, d, d), dt)], axis=0)
-        x_odd = jnp.einsum(
-            "mij,mj->mi",
-            Aoinv,
-            bo
-            - jnp.einsum("mij,mj->mi", Co, x_even)
-            - jnp.einsum("mji,mj->mi", Ce_next, x_even_next),
-        )
+        Ce_next = jnp.concatenate(
+            [Ce[1:], jnp.zeros((1, d, d), Ce.dtype)], axis=0)
+        rhs = (bo
+               - jnp.einsum("mij,mj->mi", Co, cv(x_even),
+                            preferred_element_type=dt)
+               - jnp.einsum("mji,mj->mi", Ce_next, cv(x_even_next),
+                            preferred_element_type=dt))
+        x_odd = jnp.einsum("mij,mj->mi", Aoinv, cv(rhs),
+                           preferred_element_type=dt)
         x = jnp.stack([x_even, x_odd], axis=1).reshape(2 * m2, d)
     return x
 

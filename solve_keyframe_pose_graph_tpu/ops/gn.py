@@ -840,15 +840,46 @@ def loop_matvec_tiled_rows(inc: TiledIncidence, blkrows, p_n):
     pT = p_n.T                                          # (Nc, 6)
     xs_rows = pT[inc.slot_src]                          # (T*K, 6)
     xs6 = jnp.tile(xs_rows, (1, 6))                     # (T*K, 36)
-    tmp = (blkrows * xs6).reshape(T, K, 36)
+    # The one-hot contraction is the HBM-dominant op of the whole CG
+    # iteration (the (T, K, TN) one-hot streams ~21 MB/matvec at bench
+    # scale in f32). When the incidence carries a bf16 one-hot (exact:
+    # values are 0/1), run the MXU contraction in bf16 with f32
+    # accumulation — halves both operands' traffic; the tmp cast is
+    # loop-variant so it fuses into the dot instead of hoisting.
+    od = inc.onehot.dtype
+    tmp = (blkrows * xs6).reshape(T, K, 36).astype(od)
     W = jax.lax.dot_general(
         tmp, inc.onehot,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=dt,
     )                                                   # (T, 36, TN)
+    W = W.astype(dt)
     Z = jnp.zeros((36, 6), dt).at[jnp.arange(36, dtype=jnp.int32), jnp.arange(36, dtype=jnp.int32) // 6].set(
         1.0)
     y = jnp.einsum("ci,tcn->itn", Z, W)                 # (6, T, TN)
+    return y.reshape(6, T * TN)[:, : p_n.shape[-1]]
+
+
+def loop_matvec_tiled_rows6(inc: TiledIncidence, blkrows, p_n):
+    """tiledrows with the j-reduction hoisted BEFORE the one-hot dot: the
+    per-slot 6-vector y_k[i] = sum_j A_k[i,j] x_k[j] is formed first (one
+    fused multiply+reduce), so the MXU contraction is (T,K,6)x(T,K,TN) —
+    6x less dot work than tiledrows' (T,K,36) form — and the 36->6 combine
+    einsum disappears. Fewer, smaller ops: the loop matvec is op-latency
+    bound in-context (bf16 operand halving measured ZERO change)."""
+    TN = TiledIncidence.TILE_N
+    T, K, _ = inc.onehot.shape
+    dt = p_n.dtype
+    pT = p_n.T                                          # (Nc, 6)
+    xs_rows = pT[inc.slot_src]                          # (T*K, 6)
+    xs6 = jnp.tile(xs_rows, (1, 6))                     # (T*K, 36)
+    tmp6 = (blkrows * xs6).reshape(T * K, 6, 6).sum(-1)
+    W = jax.lax.dot_general(
+        tmp6.reshape(T, K, 6).astype(inc.onehot.dtype), inc.onehot,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=dt,
+    ).astype(dt)                                        # (T, 6, TN)
+    y = jnp.swapaxes(W, 0, 1)                           # (6, T, TN)
     return y.reshape(6, T * TN)[:, : p_n.shape[-1]]
 
 
@@ -997,7 +1028,11 @@ def reduced_matvec_t(red: ReducedSystemT, problem: Problem, p_n,
         # used to decompose in-context per-iteration cost)
         yl = 0.0
     elif isinstance(inc, TiledIncidence):
-        if inc.gather_mode == "rowsdot":
+        if inc.gather_mode == "rows6":
+            if blocks_dup is None:
+                blocks_dup = tiled_blocks_rows(red, inc)
+            yl = loop_matvec_tiled_rows6(inc, blocks_dup, p_n)
+        elif inc.gather_mode == "rowsdot":
             if blocks_dup is None:
                 blocks_dup = tiled_blocks_rows(red, inc)
             yl = loop_matvec_tiled_rows(inc, blocks_dup, p_n)

@@ -240,13 +240,22 @@ def lm_solve(
         inc = gn_ops.build_sorted_incidence(problem)
     elif loop_impl in ("sorted2", "sorted2ng"):
         inc = gn_ops.build_sorted_incidence2(problem)
-    elif loop_impl in ("tiled", "tiledng", "tiledrows"):
+    elif loop_impl in ("tiled", "tiledng", "tiledrows", "tiledrows16",
+                       "tiledrows6"):
         inc = gn_ops.build_tiled_incidence(problem, tile_k)
         import dataclasses as _dc
         if loop_impl == "tiledng":   # diagnostic, wrong results
             inc = _dc.replace(inc, fake_gather=True)
         elif loop_impl == "tiledrows":
             inc = _dc.replace(inc, gather_mode="rowsdot")
+        elif loop_impl == "tiledrows16":
+            # bf16 MXU one-hot contraction (f32 accumulate): the one-hot is
+            # exact in bf16; only the dup-block values round to bf16
+            inc = _dc.replace(
+                inc, gather_mode="rowsdot",
+                onehot=inc.onehot.astype(jnp.bfloat16))
+        elif loop_impl == "tiledrows6":
+            inc = _dc.replace(inc, gather_mode="rows6")
     elif loop_impl == "none":
         inc = "none"     # diagnostic: drop loop rows from the matvec
     else:
@@ -276,6 +285,10 @@ def lm_solve(
                 fac = band_ops.bcr_factorize(A_band, C_band,
                                              group=problem.fanout,
                                              max_levels=bcr_levels)
+                if band_impl == "aos16":
+                    # factor in f32 (quality), STORE bf16: halves the
+                    # dominant HBM stream of every CG iteration
+                    fac = band_ops.cast_factor(fac, jnp.bfloat16)
                 band = lambda r: band_ops.band_precond_apply(fac, r.T).T
             if preconditioner == "band":
                 return band
@@ -342,7 +355,7 @@ def lm_solve(
         elif loop_impl == "sorted":
             blocks_dup = gn_ops.dup_sorted_blocks(red, inc)     # hoisted
             Aba_aos = None
-        elif loop_impl == "tiledrows":
+        elif loop_impl in ("tiledrows", "tiledrows16", "tiledrows6"):
             blocks_dup = gn_ops.tiled_blocks_rows(red, inc)     # hoisted
             Aba_aos = None
         elif loop_impl in ("tiled", "tiledng"):
@@ -633,7 +646,8 @@ def cfg_lm_kwargs(solver_cfg, residual_mode: str = "6dof",
     """config.SolverConfig -> lm_solve keyword dict (shared by every host
     entry point so the engine, CLI, and benchmarks solve identically)."""
     loop_impl = getattr(solver_cfg, "loop_impl", "sorted2")
-    if loop_impl in ("tiled", "tiledrows") and tile_k is None:
+    if loop_impl in ("tiled", "tiledrows", "tiledrows16",
+                     "tiledrows6") and tile_k is None:
         loop_impl = "sorted2"
     return dict(
         max_iterations=solver_cfg.max_lm_iterations,

@@ -488,7 +488,7 @@ class SolverEngine:
         # static per-tile capacity for the tiled loop matvec, from the HOST
         # edge arrays (bucketed so compiles amortize like capacity buckets)
         tile_k = None
-        if cfg.solver.loop_impl in ("tiled", "tiledrows"):
+        if cfg.solver.loop_impl in ("tiled", "tiledrows", "tiledrows16"):
             from solve_keyframe_pose_graph_tpu.ops.gn import tile_k_for
             tile_k = tile_k_for(eb, ea, n_cap, loop_mask=loop_valid)
         from solve_keyframe_pose_graph_tpu.ops import lm as lm_ops

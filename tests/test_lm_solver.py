@@ -229,6 +229,11 @@ def test_tiled_loop_matvec_matches_scatter():
         got_rows = gn_ops.loop_matvec_tiled_rows(inc, blkrows, p)
         np.testing.assert_allclose(np.array(got_rows), np.array(ref),
                                    rtol=1e-12, atol=1e-12)
+        # rows6: j-reduction hoisted before the one-hot dot (the round-3
+        # production form — 6x smaller MXU contraction, no 36->6 combine)
+        got6 = gn_ops.loop_matvec_tiled_rows6(inc, blkrows, p)
+        np.testing.assert_allclose(np.array(got6), np.array(ref),
+                                   rtol=1e-12, atol=1e-12)
         inc_rows = dataclasses.replace(inc, gather_mode="rowsdot")
         full_ref = gn_ops.reduced_matvec_t(red, prob, p)
         full_new = gn_ops.reduced_matvec_t(red, prob, p, inc=inc_rows)
@@ -236,11 +241,16 @@ def test_tiled_loop_matvec_matches_scatter():
                                    rtol=1e-12, atol=1e-12)
 
     r1 = lm.lm_solve(prob, max_iterations=6, loop_impl="sorted2")
-    r2 = lm.lm_solve(prob, max_iterations=6, loop_impl="tiledrows",
-                     tile_k=K)
-    assert abs(float(r1.final_cost) - float(r2.final_cost)) < 1e-10 * max(
-        1.0, float(r1.final_cost))
-    assert int(r1.total_cg_iterations) == int(r2.total_cg_iterations)
+    for impl in ("tiledrows", "tiledrows6"):
+        r2 = lm.lm_solve(prob, max_iterations=6, loop_impl=impl, tile_k=K)
+        assert abs(float(r1.final_cost) - float(r2.final_cost)) < 1e-10 * max(
+            1.0, float(r1.final_cost)), impl
+        assert int(r1.total_cg_iterations) == int(r2.total_cg_iterations)
+    # band_impl="aos16" (bf16-stored BCR factor): a preconditioner-only
+    # perturbation — the solve must still converge to the same optimum
+    r3 = lm.lm_solve(prob, max_iterations=6, band_impl="aos16")
+    np.testing.assert_allclose(float(r3.final_cost), float(r1.final_cost),
+                               rtol=1e-3)
 
 
 def test_four_dof_mode_end_to_end():
