@@ -133,6 +133,55 @@ def build_band_system_em(Dh, Bh, group: int):
     return A, C, n_pad
 
 
+def build_band_system_emb(Dh, Bh, group: int):
+    """Entry-major BUILD for the AoS factorize ("emb" in lm_solve): the same
+    strided-slice + static-row-gather assembly as build_band_system_em, but
+    with the index maps pre-permuted to the AoS super-node entry ordering
+    (p = 6*k + i) and one (d*d, Mp) -> (Mp, d, d) transpose per output so
+    the result is bitwise band.build_band_system's (A, C) — without the six
+    (36, Nc) -> (Nc, 6, 6) relayouts and the ~50-concat super-node build
+    that dominate the AoS build's cost. The permutation costs nothing: it is
+    applied to the STATIC numpy index maps at trace time."""
+    import dataclasses  # noqa: F401  (parallel structure with _em)
+
+    F, _, Nc = Bh.shape
+    g = group
+    assert F == g, (F, g)
+    d = 6 * g
+    M = -(-Nc // g)
+    Mp = _next_pow2(M)
+    n_pad = Mp * g
+    dt = Dh.dtype
+
+    pad = n_pad - Nc
+    if pad:
+        eyecol = jnp.zeros((36,), dt).at[
+            jnp.arange(0, 36, 7, dtype=jnp.int32)].set(1.0)
+        Dh = jnp.concatenate(
+            [Dh, jnp.broadcast_to(eyecol[:, None], (36, pad))], axis=1)
+        Bh = jnp.concatenate([Bh, jnp.zeros((g, 36, pad), dt)], axis=2)
+
+    S = jnp.concatenate([Dh[None], Bh], axis=0)          # (1+g, 36, n_pad)
+    T = jnp.stack([S[:, :, k::g] for k in range(g)], axis=0)
+    T = T.reshape(g * (1 + g) * 36, Mp)
+    T = jnp.concatenate([T, jnp.zeros((1, Mp), dt)], axis=0)
+
+    A_idx, C_idx = _row_maps(g)
+    # em entry p = i*g + k  ->  AoS entry 6*k + i
+    pe = np.empty(d, np.int32)
+    for k in range(g):
+        for i in range(6):
+            pe[6 * k + i] = i * g + k
+    A_idx = A_idx[np.ix_(pe, pe)]
+    C_idx = C_idx[np.ix_(pe, pe)]
+    A = T[A_idx.reshape(-1)].reshape(d * d, Mp)          # row gathers
+    C = T[C_idx.reshape(-1)].reshape(d * d, Mp)
+    C = C * (jnp.arange(Mp) > 0).astype(dt)
+    A = jnp.transpose(A, (1, 0)).reshape(Mp, d, d)
+    C = jnp.transpose(C, (1, 0)).reshape(Mp, d, d)
+    return A, C, n_pad
+
+
 def gj_inv_em(A):
     """Batched unpivoted Gauss-Jordan inverse of (d, d, m) with the batch in
     lanes: d augmented elimination sweeps, each a lane-parallel rank-1

@@ -180,12 +180,14 @@ def lm_solve(
                                     # identical to scatter and only
                                     # replaces the two scatter-adds.
     band_impl: str = "aos",         # band-BCR preconditioner pipeline:
-                                    # "em" (entry-major, lanes = batch —
-                                    # ops/band_em.py; no AoS relayouts, no
-                                    # tile-padding waste) | "aos" (the
-                                    # original (m,d,d) batched-matmul form,
-                                    # ops/band.py — kept as the differential
-                                    # oracle and for A/B measurement)
+                                    # "aos" ((m,d,d) batched-matmul form,
+                                    # ops/band.py) | "emb" (entry-major
+                                    # BUILD feeding the AoS factorize —
+                                    # band_em.build_band_system_emb) |
+                                    # "em" (entry-major end to end; MEASURED
+                                    # 1.6x SLOWER in-context: lane-batched
+                                    # (d,d,m) einsums are VPU work and lose
+                                    # the MXU — kept as differential oracle)
     precision: str = "native",      # "native" (problem dtype end-to-end) |
                                     # "mixed" (float64 residual/Jacobian
                                     # assembly, parameter state and
@@ -276,12 +278,26 @@ def lm_solve(
                     A_em, C_em, max_levels=bcr_levels)
                 band = lambda r: band_em.band_precond_apply_em(fac_em, r)
             else:
-                Dh_aos = gn_ops.t_blocks_to_aos(red.Dh)
-                Bh_aos = jnp.stack([gn_ops.t_blocks_to_aos(red.Bh[f])
-                                    for f in range(problem.fanout)])
-                A_band, C_band, _ = band_ops.build_band_system(
-                    Dh_aos, Bh_aos, group=problem.fanout
-                )
+                if band_impl == "emb":
+                    # entry-major BUILD (strided lane slices + static row
+                    # gathers — no 6x (36,Nc)->(Nc,6,6) relayouts, no
+                    # ~50-concat super-node assembly), one (d*d,M)->(M,d,d)
+                    # transpose per output; the factorize/apply keep their
+                    # MXU batched-matmul form. Same (A, C) as the AoS build
+                    # (test_band_em.test_build_emb_matches_aos); the full
+                    # "em" pipeline loses 1.6x in-context because
+                    # lane-batched (d,d,m) einsums run on the VPU and
+                    # forfeit the MXU.
+                    from solve_keyframe_pose_graph_tpu.ops import band_em
+                    A_band, C_band, _ = band_em.build_band_system_emb(
+                        red.Dh, red.Bh, group=problem.fanout)
+                else:
+                    Dh_aos = gn_ops.t_blocks_to_aos(red.Dh)
+                    Bh_aos = jnp.stack([gn_ops.t_blocks_to_aos(red.Bh[f])
+                                        for f in range(problem.fanout)])
+                    A_band, C_band, _ = band_ops.build_band_system(
+                        Dh_aos, Bh_aos, group=problem.fanout
+                    )
                 fac = band_ops.bcr_factorize(A_band, C_band,
                                              group=problem.fanout,
                                              max_levels=bcr_levels)

@@ -72,7 +72,20 @@ def test_precond_apply_matches_aos(levels):
     np.testing.assert_allclose(np.array(x1), np.array(x0), atol=1e-9)
 
 
-def test_lm_solve_band_impl_parity():
+def test_build_emb_matches_aos():
+    """The emb build (entry-major gathers, AoS-ordered static index maps,
+    one transpose) must reproduce band.build_band_system EXACTLY — it is
+    the same numbers moved differently."""
+    (D, B), (Dt, Bt) = _random_band(nc=41, seed=3)
+    A0, C0, npad0 = band_ops.build_band_system(D, B, group=G)
+    A1, C1, npad1 = band_em.build_band_system_emb(Dt, Bt, group=G)
+    assert npad0 == npad1
+    np.testing.assert_allclose(np.array(A1), np.array(A0), atol=0)
+    np.testing.assert_allclose(np.array(C1), np.array(C0), atol=0)
+
+
+@pytest.mark.parametrize("impl", ["em", "emb"])
+def test_lm_solve_band_impl_parity(impl):
     """Whole-solve agreement: band_impl is a pure layout choice."""
     from solve_keyframe_pose_graph_tpu.ops.lm import lm_solve
     from tests.test_lm_solver import build_circle_problem
@@ -81,7 +94,7 @@ def test_lm_solve_band_impl_parity():
     kw = dict(max_iterations=8, preconditioner="band+coarse",
               coarse_group=16)
     r0 = lm_solve(prob, band_impl="aos", **kw)
-    r1 = lm_solve(prob, band_impl="em", **kw)
+    r1 = lm_solve(prob, band_impl=impl, **kw)
     np.testing.assert_allclose(float(r1.final_cost), float(r0.final_cost),
                                rtol=1e-8)
     np.testing.assert_allclose(np.array(r1.t), np.array(r0.t), atol=1e-6)
