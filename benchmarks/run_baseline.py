@@ -301,8 +301,11 @@ def bench_capacity(results, run_cpu: bool):
     if "tpu_ms" not in row:
         row.update(measure_tpu_solve(prob, 10))                 # band default
     if "tpu_parity_ms" not in row:
-        par_kw = dict(PARITY_KW, coarse_group=128, bcr_levels=2,
-                      cg_warm_iters=7, cg_warm_mult=10.0)
+        # plain parity forcing — the warm-forcing schedule (7x10) was
+        # REJECTED by the 8-seed robustness certification
+        # (benchmarks/warm_robust.json): overly loose early forcing
+        # accepts steps into basins 10 LM iterations can't exit.
+        par_kw = dict(PARITY_KW, coarse_group=128, bcr_levels=2)
         par = measure_tpu_solve(prob, 10, loop_impl="tiledrows",
                                 tile_k=tile_k, **par_kw)
         row.update({"tpu_parity_ms": par["tpu_ms"],

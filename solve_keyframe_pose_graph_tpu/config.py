@@ -52,9 +52,12 @@ class SolverConfig:
                                         # full reduction
     coarse_group: int = 32              # nodes per aggregate in the
                                         # two-level preconditioners
-    band_impl: str = "aos"              # band-BCR pipeline: "em" (entry-
-                                        # major, ops/band_em.py) | "aos"
-                                        # (batched-matmul form, ops/band.py)
+    band_impl: str = "emb"              # band-BCR pipeline: "emb" (entry-
+                                        # major build + MXU AoS factorize,
+                                        # bitwise = aos and -11 ms/solve at
+                                        # bench scale) | "aos" (batched-
+                                        # matmul form, ops/band.py) | "em"
+                                        # (entry-major end to end, slower)
     # Loop-edge matvec formulation. "tiledrows" (tile-padded one-hot
     # contraction, the fastest measured in-context on TPU — BASELINE.md
     # round 3) needs a static per-tile capacity that the engine computes

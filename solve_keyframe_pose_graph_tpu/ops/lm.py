@@ -179,15 +179,18 @@ def lm_solve(
                                     # sorted2 keeps the einsum operands
                                     # identical to scatter and only
                                     # replaces the two scatter-adds.
-    band_impl: str = "aos",         # band-BCR preconditioner pipeline:
+    band_impl: str = "emb",         # band-BCR preconditioner pipeline:
+                                    # "emb" (entry-major BUILD feeding the
+                                    # MXU AoS factorize —
+                                    # band_em.build_band_system_emb;
+                                    # bitwise = aos, MEASURED -11.3 ms/solve
+                                    # at bench scale: 120.2 -> 108.9) |
                                     # "aos" ((m,d,d) batched-matmul form,
-                                    # ops/band.py) | "emb" (entry-major
-                                    # BUILD feeding the AoS factorize —
-                                    # band_em.build_band_system_emb) |
-                                    # "em" (entry-major end to end; MEASURED
-                                    # 1.6x SLOWER in-context: lane-batched
-                                    # (d,d,m) einsums are VPU work and lose
-                                    # the MXU — kept as differential oracle)
+                                    # ops/band.py — the differential oracle)
+                                    # | "em" (entry-major end to end;
+                                    # MEASURED 1.6x SLOWER in-context:
+                                    # lane-batched (d,d,m) einsums are VPU
+                                    # work and lose the MXU)
     precision: str = "native",      # "native" (problem dtype end-to-end) |
                                     # "mixed" (float64 residual/Jacobian
                                     # assembly, parameter state and
@@ -650,6 +653,21 @@ def fp64_resolve(problem: Problem, lm_kw: dict) -> LMResult:
 
     kw64 = dict(lm_kw)
     kw64["matvec_impl"] = "xla"      # Pallas kernels are fp32-only
+    # The insurance rung takes NEAR-EXACT steps: the reference's answer to
+    # ill conditioning is exact fp64 Newton steps (Ceres
+    # SPARSE_NORMAL_CHOLESKY, /root/reference/src/PoseGraphSLAM.cpp:1270),
+    # and on chaotic instances an inexact-CG fp64 re-solve at the fp32
+    # rung's loose forcing (1e-2:60) follows a different 10-iteration
+    # trajectory than the exact-step reference — measured gaps to +341%
+    # on perturbed bench instances (benchmarks/warm_robust.json). Tight
+    # forcing makes the escalated trajectory track the exact one; the
+    # extra CG iterations are irrelevant on a rung already paying ~50x
+    # for emulated fp64 arithmetic.
+    kw64["cg_tolerance"] = min(1e-6, float(lm_kw.get("cg_tolerance", 1e-2)))
+    kw64["max_cg_iterations"] = max(400,
+                                    int(lm_kw.get("max_cg_iterations", 60)))
+    kw64["cg_warm_iters"] = 0
+    kw64["cg_q_tolerance"] = 0.0
     with _jax.enable_x64():
         res = lm_solve(problem_astype(problem, jnp.float64), **kw64)
         _jax.block_until_ready(res)
