@@ -89,13 +89,16 @@ def main():
                     p, t=p.t + (tshift * 1e-9).astype(p.t.dtype))
                 # the chi2-PARITY configuration (the north-star metric is
                 # wall-clock AT Ceres-parity chi2): two-level band+coarse
-                # preconditioner, default forcing, tile-padded one-hot
-                # loop matvec — final chi2 0.4053 vs the fp64 exact-step
-                # reference's 0.4038 (+0.4%), verified rejection-free
-                # across perturbed instances (BASELINE.md)
+                # preconditioner, default forcing with a 45-iteration CG
+                # cap, entry-major band build (band_impl=emb default),
+                # tile-padded one-hot loop matvec — final chi2 0.4008 vs
+                # the fp64 exact-step reference's 0.4038, certified
+                # equivalent to cap-60 across 8 perturbed instances
+                # (benchmarks/warm_robust.json, BASELINE.md)
                 r = lm.lm_solve(p_i, max_iterations=10,
                                 preconditioner="band+coarse",
                                 coarse_group=64, bcr_levels=2,
+                                max_cg_iterations=45,
                                 loop_impl="tiledrows", tile_k=tile_k)
                 return cost_acc + r.final_cost, r.final_cost
             acc, _ = jax.lax.fori_loop(

@@ -39,8 +39,9 @@ REPS = 3
 # (manhattan class) are handled by the ADAPTIVE PRECISION ESCALATION, not by
 # per-graph tuning: overshoot rejections in the fp32 solve trigger a fp64
 # re-solve (ops/lm.lm_solve_adaptive; measured in benchmarks/precision.json).
-PARITY_KW = dict(cg_tolerance=1e-2, max_cg_iterations=60,
-                 preconditioner="band+coarse", coarse_group=64)
+PARITY_KW = dict(cg_tolerance=1e-2, max_cg_iterations=45,
+                 preconditioner="band+coarse", coarse_group=64,
+                 bcr_levels=2)
 
 
 def measure_tpu_solve(problem, max_iterations=10, **lm_kw):
@@ -82,13 +83,17 @@ def measure_tpu_solve(problem, max_iterations=10, **lm_kw):
             "cg_iterations": int(res.total_cg_iterations)}
 
 
-def measure_both_modes(problem, max_iterations=10, name=""):
+def measure_both_modes(problem, max_iterations=10, name="", tile_k=None):
     """Default-quality row + chi2-parity row (the ONE unified config) + the
-    adaptive-precision outcome when the fp32 solve shows distress."""
+    adaptive-precision outcome when the fp32 solve shows distress. tile_k
+    (host-computed static per-tile capacity, gn.tile_k_for) enables the
+    tiled loop matvec — the bench.py headline formulation."""
     from solve_keyframe_pose_graph_tpu.ops import lm
 
-    row = measure_tpu_solve(problem, max_iterations)
-    par = measure_tpu_solve(problem, max_iterations, **PARITY_KW)
+    tiled = ({} if tile_k is None
+             else dict(loop_impl="tiledrows", tile_k=int(tile_k)))
+    row = measure_tpu_solve(problem, max_iterations, **tiled)
+    par = measure_tpu_solve(problem, max_iterations, **PARITY_KW, **tiled)
     row.update({"tpu_parity_ms": par["tpu_ms"],
                 "tpu_parity_chi2": par["tpu_chi2"],
                 "parity_cg_iterations": par["cg_iterations"],
@@ -99,7 +104,7 @@ def measure_both_modes(problem, max_iterations=10, name=""):
     # and its (host-wall) cost.
     t0 = time.perf_counter()
     res_a, rung = lm.lm_solve_adaptive(
-        problem, max_iterations=max_iterations, **PARITY_KW)
+        problem, max_iterations=max_iterations, **PARITY_KW, **tiled)
     if rung:
         row.update({
             "adaptive_chi2": float(res_a.final_cost),
@@ -134,6 +139,7 @@ def problem_from_inputs(inp, n, e, dtype=np.float32):
 def bench_g2o_configs(results, run_cpu: bool, graphs=None):
     from solve_keyframe_pose_graph_tpu.graph import datasets
     from solve_keyframe_pose_graph_tpu.graph import g2o as g2o_io
+    from solve_keyframe_pose_graph_tpu.ops import gn
 
     gdir = os.path.join(ROOT, "benchmarks", "graphs")
     os.makedirs(gdir, exist_ok=True)
@@ -147,7 +153,9 @@ def bench_g2o_configs(results, run_cpu: bool, graphs=None):
         inp = g2o_io.g2o_to_problem_inputs(g)
         n, e = g.n_nodes, len(inp["loop_pairs"])
         prob = problem_from_inputs(inp, n, e)
-        row = measure_both_modes(prob, name=name)
+        pairs = np.asarray(inp["loop_pairs"])
+        tile_k = gn.tile_k_for(pairs[:, 1], pairs[:, 0], prob.q.shape[0])
+        row = measure_both_modes(prob, name=name, tile_k=tile_k)
         row.update({"nodes": n, "loops": e})
         results.setdefault(name, {}).update(row)
         print(name, json.dumps(results[name]))
@@ -169,12 +177,15 @@ def bench_g2o_configs(results, run_cpu: bool, graphs=None):
 
 def bench_circle(results, run_cpu: bool):
     from solve_keyframe_pose_graph_tpu.graph import synthetic
+    from solve_keyframe_pose_graph_tpu.ops import gn
 
     g = synthetic.circle_graph(n_nodes=5000, n_loops=10000, seed=0)
     inp = {"vio_q": g.vio_q, "vio_t": g.vio_t, "loop_pairs": g.loop_pairs,
            "loop_q": g.loop_q, "loop_t": g.loop_t, "loop_w": g.loop_w}
     prob = problem_from_inputs(inp, g.n_nodes, g.n_loops)
-    row = measure_both_modes(prob, name="circle_5k_10k")
+    tile_k = gn.tile_k_for(g.loop_pairs[:, 1], g.loop_pairs[:, 0],
+                           prob.q.shape[0])
+    row = measure_both_modes(prob, name="circle_5k_10k", tile_k=tile_k)
     row.update({"nodes": g.n_nodes, "loops": g.n_loops})
     results.setdefault("circle_5k_10k", {}).update(row)
     print("circle_5k_10k", json.dumps(results["circle_5k_10k"]))

@@ -32,10 +32,13 @@ class SolverConfig:
     parameter_tolerance: float = 1e-8
     # PCG (inner linear solve). Defaults chosen for chi^2 parity with the
     # reference's EXACT inner solves (SPARSE_NORMAL_CHOLESKY): residual
-    # forcing 1e-2 with a 60-iteration cap. cg_q_tolerance enables Ceres'
+    # forcing 1e-2 with a 45-iteration cap — certified equivalent to cap
+    # 60 across 8 perturbed bench instances (escalated outcomes are
+    # governed by the near-exact fp64 rung either way; healthy ones shift
+    # <0.6% — benchmarks/warm_robust.json). cg_q_tolerance enables Ceres'
     # Q-based forcing rule (eta, e.g. 0.1) — a faster truncated mode whose
     # 10-iteration outcomes are noisier on loop-dense graphs.
-    max_cg_iterations: int = 60
+    max_cg_iterations: int = 45
     cg_tolerance: float = 1e-2          # relative residual reduction
     cg_q_tolerance: float = 0.0         # 0 = off
     # warm forcing schedule: the first cg_warm_iters LM iterations solve CG

@@ -663,8 +663,13 @@ def fp64_resolve(problem: Problem, lm_kw: dict) -> LMResult:
     # forcing makes the escalated trajectory track the exact one; the
     # extra CG iterations are irrelevant on a rung already paying ~50x
     # for emulated fp64 arithmetic.
-    kw64["cg_tolerance"] = min(1e-6, float(lm_kw.get("cg_tolerance", 1e-2)))
-    kw64["max_cg_iterations"] = max(400,
+    # Cap 150 / tol 1e-5 (not tighter): the rung runs as ONE device
+    # dispatch, and a cap-400 fp64 program at bench scale reproducibly
+    # faults the device (UNAVAILABLE after ~60s+ of emulated-fp64 CG in a
+    # single dispatch) — cap-60 fp64 dispatches (~15 s) execute fine and
+    # cap-150 (~37 s worst case) stays within the same envelope.
+    kw64["cg_tolerance"] = min(1e-5, float(lm_kw.get("cg_tolerance", 1e-2)))
+    kw64["max_cg_iterations"] = max(150,
                                     int(lm_kw.get("max_cg_iterations", 60)))
     kw64["cg_warm_iters"] = 0
     kw64["cg_q_tolerance"] = 0.0
