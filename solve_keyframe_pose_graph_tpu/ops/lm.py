@@ -489,10 +489,14 @@ def lm_solve(
         # distress signature: a REJECTED step that moved the cost materially
         # UP (overshooting Newton step from fp32 assembly error). Rejections
         # at the fp32 noise floor (candidate within 0.1% of current) are the
-        # benign end-of-descent pattern and are not counted.
+        # benign end-of-descent pattern and are not counted. The absolute
+        # floor (1e-9 x initial cost) keeps the RELATIVE test from misfiring
+        # on perfectly-consistent graphs whose optimum cost is ~0 (e.g. the
+        # engine's warmup dummy converges to ~1e-15, where any noise-floor
+        # rejection exceeds 0.1% "relative" and falsely escalated).
         overshoot = jnp.logical_and(
             jnp.logical_not(accept),
-            new_cost > state.cost * fhi(1.0 + 1e-3))
+            new_cost > state.cost * fhi(1.0 + 1e-3) + cost0 * fhi(1e-9))
 
         return _LoopState(
             q=q1, t=t1, s=s1, blocks=blocks1, cost=cost1, radius=radius,
@@ -541,7 +545,7 @@ def lm_solve(
     )
 
 
-def lm_solve_adaptive(problem: Problem, *, escalate_rejects: int = 2,
+def lm_solve_adaptive(problem: Problem, *, escalate_rejects: int = 3,
                       **lm_kw) -> tuple[LMResult, bool]:
     """Adaptive-precision LM: fp32 solve first, fp64 re-solve on distress.
 
@@ -569,9 +573,29 @@ def lm_solve_adaptive(problem: Problem, *, escalate_rejects: int = 2,
     res = lm_solve(problem, **lm_kw)
     if problem.dtype == jnp.float64:
         return res, False
-    if int(res.distress_rejects) < escalate_rejects:
+    if not needs_escalation(res, escalate_rejects):
         return res, False
     return escalate_resolve(problem, lm_kw, escalate_rejects)
+
+
+def needs_escalation(res: LMResult, escalate_rejects: int) -> bool:
+    """Overshoot rejections alone are NOT distress: a healthy trust region
+    mid-descent overshoots and rejects too (an exact fp64 solver rejects
+    the same steps — e.g. the engine's warmup dummy rejects 2 of 10 while
+    converging to chi^2 ~1e-15). The fp32-conditioning signature is
+    overshoot rejections on a solve that FAILED to converge within its
+    iteration budget (the manhattan-class pattern: 3-5/10 accepted, never
+    reaching a tolerance). The threshold separates cleanly on every
+    measured graph: healthy solves show 0-2 overshoot rejections (the
+    warmup dummy's 2 are mid-descent trust-region overextensions an exact
+    fp64 solver reproduces), conditioning-distressed ones show 5-7
+    (benchmarks/warm_robust.json). escalate_rejects <= 0 forces escalation
+    unconditionally (test/diagnostic hook)."""
+    if escalate_rejects <= 0:
+        return True
+    if bool(res.converged):
+        return False
+    return int(res.distress_rejects) >= escalate_rejects
 
 
 def escalate_resolve(problem: Problem, lm_kw: dict, escalate_rejects: int
@@ -582,7 +606,7 @@ def escalate_resolve(problem: Problem, lm_kw: dict, escalate_rejects: int
     fp64 re-solve if mixed still shows overshoot rejections. Returns
     (result, rung)."""
     res_m = mixed_resolve(problem, lm_kw)
-    if int(res_m.distress_rejects) < escalate_rejects:
+    if not needs_escalation(res_m, escalate_rejects):
         return res_m, "mixed"
     return fp64_resolve(problem, lm_kw), "fp64"
 
@@ -663,13 +687,15 @@ def fp64_resolve(problem: Problem, lm_kw: dict) -> LMResult:
     # forcing makes the escalated trajectory track the exact one; the
     # extra CG iterations are irrelevant on a rung already paying ~50x
     # for emulated fp64 arithmetic.
-    # Cap 150 / tol 1e-5 (not tighter): the rung runs as ONE device
-    # dispatch, and a cap-400 fp64 program at bench scale reproducibly
-    # faults the device (UNAVAILABLE after ~60s+ of emulated-fp64 CG in a
-    # single dispatch) — cap-60 fp64 dispatches (~15 s) execute fine and
-    # cap-150 (~37 s worst case) stays within the same envelope.
+    # Cap 100 / tol 1e-5 (not tighter): the rung runs as ONE device
+    # dispatch, and cap-150/cap-400 fp64 programs at bench scale
+    # reproducibly fault the device (UNAVAILABLE) on instances that run
+    # CG to the cap every LM iteration; cap-100 (~100 s worst-case
+    # dispatch, measured on bench_seed7) executes reliably AND already
+    # tracks the exact-step reference to +0.04% there
+    # (benchmarks/warm_robust.json).
     kw64["cg_tolerance"] = min(1e-5, float(lm_kw.get("cg_tolerance", 1e-2)))
-    kw64["max_cg_iterations"] = max(150,
+    kw64["max_cg_iterations"] = max(100,
                                     int(lm_kw.get("max_cg_iterations", 60)))
     kw64["cg_warm_iters"] = 0
     kw64["cg_q_tolerance"] = 0.0

@@ -29,6 +29,7 @@ compiles once (XLA static shapes), so a long run pays O(log N) compiles.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import threading
 import time
@@ -297,9 +298,9 @@ class SolverEngine:
         if (getattr(cfg.solver, "adaptive_fp64", False)
                 and cfg.solver.dtype != "float64"
                 and self._last_dispatch is not None):
+            from solve_keyframe_pose_graph_tpu.ops import lm as lm_ops
             k = getattr(cfg.solver, "escalate_rejects", 2)
-            if int(res.distress_rejects) >= k:
-                from solve_keyframe_pose_graph_tpu.ops import lm as lm_ops
+            if lm_ops.needs_escalation(res, k):
                 problem, kw = self._last_dispatch
                 with timer.phase("fp64_escalation"):
                     res, escalated = lm_ops.escalate_resolve(problem, kw, k)
@@ -583,8 +584,14 @@ class SolverEngine:
                     fanout=cfg.residual.odometry_fanout,
                     dtype=dtype,
                 )
+                # compile-priming only: the dummy solve's OUTCOME is
+                # irrelevant, so the adaptive fp64 escalation must not
+                # fire here (it would compile the ~50x-cost emulated-fp64
+                # programs the stream never runs)
+                warm_cfg = dataclasses.replace(cfg.solver,
+                                               adaptive_fp64=False)
                 res = solve_problem(
-                    problem, cfg.solver, residual_mode=cfg.residual.mode,
+                    problem, warm_cfg, residual_mode=cfg.residual.mode,
                     use_switch=cfg.residual.use_switch_constraints)
                 jax.block_until_ready(res.final_cost)
                 count += 1

@@ -22,14 +22,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
-# persistent compile cache (measured 7 s vs 250 s on repeated programs —
-# CLAUDE.md round-3 notes); entries are keyed by backend+HLO, so CPU test
-# programs share the directory with the TPU benchmark programs safely
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compile cache for tests. Two reproducible failure modes on
+# the XLA:CPU backend (observed round 3): (1) stale CPU executables from an
+# earlier container boot with different CPU features SIGILL on load
+# ("Machine type used for XLA:CPU compilation doesn't match"), because the
+# cache key does not cover the host feature set; (2) serializing one of the
+# suite's compiled programs (test_lm_solver tiled-matvec comparison)
+# SEGFAULTS in put_executable_and_time even into a fresh cache dir —
+# killing the whole suite. The TPU benchmark processes keep their own
+# .jax_cache (those writes are reliable and save ~250 s per re-compile).
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -41,6 +42,18 @@ def _assert_cpu():
         "tests must run on CPU, got " + jax.devices()[0].platform
     )
     yield
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The XLA:CPU backend segfaults DURING A COMPILE once a single process
+    has accumulated a few hundred compiled programs (reproducible at the
+    same suite position across runs; every implicated program compiles fine
+    in a fresh process). Dropping the executables between test modules
+    keeps the monolithic `pytest tests/` run inside the backend's envelope
+    at the cost of some duplicate compiles."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture

@@ -59,12 +59,12 @@ def test_forced_escalation_climbs_to_fp64_and_matches_direct_fp64():
     assert res.q.dtype == jnp.float64
 
     # the fp64 rung solves its linear systems NEAR-EXACTLY (tight forcing
-    # 1e-5, cap 150 — lm.fp64_resolve) so the escalated trajectory tracks
+    # 1e-5, cap 100 — lm.fp64_resolve) so the escalated trajectory tracks
     # the exact-step reference; the direct solve must mirror that to be
     # the same program
     res64 = lm_solve(problem_astype(prob, jnp.float64), max_iterations=8,
                      matvec_impl="xla", cg_tolerance=1e-5,
-                     max_cg_iterations=150)
+                     max_cg_iterations=100)
     np.testing.assert_allclose(
         float(res.final_cost), float(res64.final_cost), rtol=1e-12)
 
@@ -83,3 +83,33 @@ def test_mixed_precision_matches_native_on_healthy_graph():
     # and the costs agree to fp32-level accuracy
     np.testing.assert_allclose(
         float(resm.final_cost), float(res32.final_cost), rtol=5e-3)
+
+
+def test_consistent_graph_with_midcourse_rejections_does_not_escalate():
+    """A perfectly-consistent graph (optimum chi^2 ~ 0, e.g. the engine's
+    warmup dummy) rejects a couple of mid-descent steps — normal trust-
+    region dynamics that an exact fp64 solver reproduces — while converging
+    to the noise floor. That must NOT read as fp32 distress: healthy
+    solves show <= 2 overshoot rejections vs the distressed 5-7, and
+    lm.needs_escalation additionally gates on non-convergence."""
+    import numpy as np
+    from solve_keyframe_pose_graph_tpu.graph import synthetic
+    from solve_keyframe_pose_graph_tpu.solver.problem import build_problem_np
+
+    g = synthetic.circle_graph(n_nodes=64, n_loops=8, seed=0)
+    prob = build_problem_np(
+        q=g.vio_q, t=g.vio_t, vio_q=g.vio_q, vio_t=g.vio_t,
+        node_valid=np.ones(g.n_nodes, bool),
+        loop_pairs=g.loop_pairs, loop_q=g.loop_q, loop_t=g.loop_t,
+        loop_w=g.loop_w, loop_valid=np.ones(g.n_loops, bool),
+        switch=np.full(g.n_loops, 0.99),
+        prior_idx=np.array([0]), prior_q=g.vio_q[:1], prior_t=g.vio_t[:1],
+        prior_w=np.array([1.1]), n_cap=256, e_cap=256, p_cap=16,
+        dtype=np.float32)
+    res, rung = lm_solve_adaptive(prob, max_iterations=10,
+                                  preconditioner="band+coarse",
+                                  coarse_group=64, bcr_levels=2,
+                                  max_cg_iterations=45)
+    assert rung is False
+    assert res.q.dtype == jnp.float32
+    assert float(res.final_cost) < 1e-9
