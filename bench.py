@@ -91,7 +91,7 @@ def main():
                 # wall-clock AT Ceres-parity chi2): two-level band+coarse
                 # preconditioner, default forcing with a 45-iteration CG
                 # cap, entry-major band build (band_impl=emb default),
-                # tile-padded one-hot loop matvec — final chi2 0.4008 vs
+                # tile-padded one-hot loop matvec (rows6 form) — final chi2 0.4008 vs
                 # the fp64 exact-step reference's 0.4038, certified
                 # equivalent to cap-60 across 8 perturbed instances
                 # (benchmarks/warm_robust.json, BASELINE.md)
@@ -99,7 +99,7 @@ def main():
                                 preconditioner="band+coarse",
                                 coarse_group=64, bcr_levels=2,
                                 max_cg_iterations=45,
-                                loop_impl="tiledrows", tile_k=tile_k)
+                                loop_impl="tiledrows6", tile_k=tile_k)
                 return cost_acc + r.final_cost, r.final_cost
             acc, _ = jax.lax.fori_loop(
                 0, k, body, (jnp.float32(0.0), jnp.float32(0.0)))

@@ -91,7 +91,7 @@ def measure_both_modes(problem, max_iterations=10, name="", tile_k=None):
     from solve_keyframe_pose_graph_tpu.ops import lm
 
     tiled = ({} if tile_k is None
-             else dict(loop_impl="tiledrows", tile_k=int(tile_k)))
+             else dict(loop_impl="tiledrows6", tile_k=int(tile_k)))
     row = measure_tpu_solve(problem, max_iterations, **tiled)
     par = measure_tpu_solve(problem, max_iterations, **PARITY_KW, **tiled)
     row.update({"tpu_parity_ms": par["tpu_ms"],
@@ -150,6 +150,11 @@ def bench_g2o_configs(results, run_cpu: bool, graphs=None):
         path = os.path.join(gdir, f"{name}.g2o")
         if not os.path.exists(path):
             g2o_io.save_g2o(path, g)
+        # solve the TEXT-ROUNDED instance the CPU reference subprocess reads
+        # (these graphs are chaotically input-sensitive — CLAUDE.md: the g2o
+        # rounding of the same instance changes which LM steps reject, so
+        # the TPU row and its reference must see identical bits)
+        g = g2o_io.load_g2o(path)
         inp = g2o_io.g2o_to_problem_inputs(g)
         n, e = g.n_nodes, len(inp["loop_pairs"])
         prob = problem_from_inputs(inp, n, e)
@@ -317,7 +322,7 @@ def bench_capacity(results, run_cpu: bool):
         # (benchmarks/warm_robust.json): overly loose early forcing
         # accepts steps into basins 10 LM iterations can't exit.
         par_kw = dict(PARITY_KW, coarse_group=128, bcr_levels=2)
-        par = measure_tpu_solve(prob, 10, loop_impl="tiledrows",
+        par = measure_tpu_solve(prob, 10, loop_impl="tiledrows6",
                                 tile_k=tile_k, **par_kw)
         row.update({"tpu_parity_ms": par["tpu_ms"],
                     "tpu_parity_chi2": par["tpu_chi2"],

@@ -71,13 +71,14 @@ class SolverConfig:
                                         # bench scale) | "aos" (batched-
                                         # matmul form, ops/band.py) | "em"
                                         # (entry-major end to end, slower)
-    # Loop-edge matvec formulation. "tiledrows" (tile-padded one-hot
-    # contraction, the fastest measured in-context on TPU — BASELINE.md
-    # round 3) needs a static per-tile capacity that the engine computes
+    # Loop-edge matvec formulation. "tiledrows6" (tile-padded one-hot,
+    # j-reduction hoisted before the one-hot dot — the certified round-3
+    # production form; BASELINE.md) needs a static per-tile capacity that
+    # the engine computes
     # from the actual edge distribution (gn.tile_k_for); "sorted2" is the
     # capacity-free fallback (and the auto choice when a caller has no
     # host-side edge arrays to size the tiles from).
-    loop_impl: str = "tiledrows"
+    loop_impl: str = "tiledrows6"
     # dtype for device solve: "float32" (TPU-native) or "float64" (parity
     # checks on CPU).
     dtype: str = "float32"

@@ -598,6 +598,15 @@ def needs_escalation(res: LMResult, escalate_rejects: int) -> bool:
     return int(res.distress_rejects) >= escalate_rejects
 
 
+# Largest node capacity the full-fp64 rung may run at. The rung is ONE
+# emulated-fp64 device dispatch whose runtime scales with n_cap x CG
+# iterations; ~100 s dispatches at n_cap 8192 are reliable, longer ones
+# reproducibly fault the device (UNAVAILABLE — see fp64_resolve). Beyond
+# this, the ladder tops out at the mixed rung (fp64 assembly/cost + fp32
+# CG, which runs at fp32 speed at any size).
+MAX_FP64_NCAP = 8192
+
+
 def escalate_resolve(problem: Problem, lm_kw: dict, escalate_rejects: int
                      ) -> tuple[LMResult, str]:
     """The escalation ladder, entered once an fp32 solve has shown distress:
@@ -606,7 +615,8 @@ def escalate_resolve(problem: Problem, lm_kw: dict, escalate_rejects: int
     fp64 re-solve if mixed still shows overshoot rejections. Returns
     (result, rung)."""
     res_m = mixed_resolve(problem, lm_kw)
-    if not needs_escalation(res_m, escalate_rejects):
+    if (not needs_escalation(res_m, escalate_rejects)
+            or problem.q.shape[0] > MAX_FP64_NCAP):
         return res_m, "mixed"
     return fp64_resolve(problem, lm_kw), "fp64"
 
