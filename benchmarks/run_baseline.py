@@ -33,12 +33,14 @@ REPS = 3
 
 # THE unified chi2-parity configuration — ONE config for every graph class
 # (the reference needs zero per-dataset tuning, PoseGraphSLAM.cpp:1270-1272):
-# the two-level band+coarse:64 preconditioner at the default CG forcing,
-# verified rejection-free on bench/sphere/torus (chi2 +0.3% / +1.8% /
-# +0.35% vs the fp64 exact-solve trace). fp32-conditioning-limited graphs
+# the two-level band+coarse:64 preconditioner at 1e-2:45 forcing,
+# bcr_levels 2 — certified across 8 perturbed bench instances + the three
+# analog classes against per-instance fp64 exact-solve references
+# (benchmarks/exp_warm_robust.py -> warm_robust.json; every escalated
+# instance within ±1.2%, BASELINE.md). fp32-conditioning-limited graphs
 # (manhattan class) are handled by the ADAPTIVE PRECISION ESCALATION, not by
-# per-graph tuning: overshoot rejections in the fp32 solve trigger a fp64
-# re-solve (ops/lm.lm_solve_adaptive; measured in benchmarks/precision.json).
+# per-graph tuning (ops/lm.lm_solve_adaptive). This mirrors
+# config.SolverConfig's product defaults.
 PARITY_KW = dict(cg_tolerance=1e-2, max_cg_iterations=45,
                  preconditioner="band+coarse", coarse_group=64,
                  bcr_levels=2)
