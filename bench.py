@@ -22,7 +22,18 @@ its own — BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# Persistent compile cache: re-runs of this benchmark (driver end-of-round,
+# repeated local runs) skip the ~250 s cold compile of the chained parity
+# program (~7 s warm over the tunnel). Keys include the program HLO, so any
+# solver edit safely invalidates entries. Set before jax backend init.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import numpy as np
