@@ -106,9 +106,11 @@ def main():
                 # the fp64 exact-step reference's 0.4038, certified
                 # equivalent to cap-60 across 8 perturbed instances
                 # (benchmarks/warm_robust.json, BASELINE.md)
+                # coarse_group unset -> auto (resolves to 64 at this n_cap:
+                # ops/coarse.auto_coarse_group), the hands-free product pick
                 r = lm.lm_solve(p_i, max_iterations=10,
                                 preconditioner="band+coarse",
-                                coarse_group=64, bcr_levels=2,
+                                bcr_levels=2,
                                 max_cg_iterations=45,
                                 loop_impl="tiledrows6", tile_k=tile_k)
                 return cost_acc + r.final_cost, r.final_cost

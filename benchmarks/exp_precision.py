@@ -40,14 +40,14 @@ PARITY_KW = dict(cg_tolerance=1e-2, max_cg_iterations=60,
                  preconditioner="band+coarse", coarse_group=64)
 
 
-def _add_cpu_ref(args, g, gdir, row, seed):
+def _add_cpu_ref(args, g, gdir, row, seed, tag):
     """Run the fp64 exact-step CPU reference (native block-LDL^T) for one
     instance and record its chi^2 in the row."""
     if not args.cpu or "ref_chi2" in row:
         return
     from solve_keyframe_pose_graph_tpu.graph import g2o as g2o_io
 
-    path = os.path.join(gdir, f"{args.graph}_seed{seed}.g2o")
+    path = os.path.join(gdir, f"{tag}_seed{seed}.g2o")
     if not os.path.exists(path):
         g2o_io.save_g2o(path, g)
     out = subprocess.run(
@@ -68,6 +68,13 @@ def main():
                     help="also run the fp64 exact-step CPU reference per seed")
     ap.add_argument("--seeds", type=int, default=8)
     ap.add_argument("--graph", default="manhattan")
+    ap.add_argument("--nodes", type=int, default=0,
+                    help="override the generator's node count (e.g. 16000: "
+                         "the VERDICT round-3 item-1 capacity row — a "
+                         "distressed 16k+ instance must escalate to the "
+                         "full-precision rung, which the chunked fp64 "
+                         "execution now allows at any size)")
+    ap.add_argument("--loops", type=int, default=0)
     ap.add_argument("--escalate-rejects", type=int, default=2)
     args = ap.parse_args()
 
@@ -78,14 +85,21 @@ def main():
     from solve_keyframe_pose_graph_tpu.ops import lm
     from benchmarks.run_baseline import problem_from_inputs
 
-    gen = getattr(datasets, args.graph)
+    gen0 = getattr(datasets, args.graph)
+    gen_kw = {}
+    tag = args.graph
+    if args.nodes:
+        gen_kw["n_nodes"] = args.nodes
+        gen_kw["n_loops"] = args.loops or (args.nodes * 3) // 5
+        tag = f"{args.graph}{args.nodes // 1000}k"
+    gen = lambda seed: gen0(seed=seed, **gen_kw)
     seeds = [11] + [100 + k for k in range(1, args.seeds)]
     seeds = seeds[: args.seeds]
 
     results = {}
     if os.path.exists(RESULTS):
         results = json.load(open(RESULTS))
-    key = f"{args.graph}_precision"
+    key = f"{tag}_precision"
     # resumable: completed seeds are merged into the JSON as they finish and
     # skipped on re-runs (each seed costs minutes — graph generation + an
     # escalated fp64 solve)
@@ -127,7 +141,7 @@ def main():
         # the saved .g2o file is the CANONICAL instance: the CPU fp64
         # reference reads it, so the TPU solves must read the same rounded
         # values (the instances are input-sensitive by construction)
-        path = os.path.join(gdir, f"{args.graph}_seed{seed}.g2o")
+        path = os.path.join(gdir, f"{tag}_seed{seed}.g2o")
         if os.path.exists(path):
             g = g2o_io.load_g2o(path)
         else:
@@ -138,7 +152,7 @@ def main():
         prob = problem_from_inputs(inp, n, e)
         if not need_solve:      # only the CPU reference is missing
             rows.append(row)
-            _add_cpu_ref(args, g, gdir, row, seed)
+            _add_cpu_ref(args, g, gdir, row, seed, tag)
             flush(rows)
             print(json.dumps(row), flush=True)
             continue
@@ -167,7 +181,7 @@ def main():
             "adaptive_host_wall_ms": round(wall_a * 1e3, 1),
         })
 
-        _add_cpu_ref(args, g, gdir, row, seed)
+        _add_cpu_ref(args, g, gdir, row, seed, tag)
         rows.append(row)
         flush(rows)
         print(json.dumps(row), flush=True)

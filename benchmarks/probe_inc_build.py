@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 N_CAP, E_CAP = 8192, 16384
-TILE_K = 640
 
 
 def main():
@@ -28,6 +27,10 @@ def main():
     from solve_keyframe_pose_graph_tpu.solver.problem import build_problem_np
 
     g = synthetic.circle_graph(n_nodes=5000, n_loops=10000, seed=0)
+    # tile capacity derived from the actual edge distribution (as the engine
+    # does — a hardcoded value below the max per-tile load would silently
+    # drop edges and measure a truncated, cheaper build)
+    TILE_K = gn.tile_k_for(g.loop_pairs[:, 1], g.loop_pairs[:, 0], N_CAP)
     prob = build_problem_np(
         q=g.vio_q, t=g.vio_t, vio_q=g.vio_q, vio_t=g.vio_t,
         node_valid=np.ones(g.n_nodes, bool),

@@ -42,8 +42,11 @@ REPS = 3
 # per-graph tuning (ops/lm.lm_solve_adaptive). This mirrors
 # config.SolverConfig's product defaults.
 PARITY_KW = dict(cg_tolerance=1e-2, max_cg_iterations=45,
-                 preconditioner="band+coarse", coarse_group=64,
-                 bcr_levels=2)
+                 preconditioner="band+coarse", bcr_levels=2)
+# coarse_group intentionally NOT set: the product auto-scales it from the
+# problem size (ops/coarse.auto_coarse_group — 64 at bench scale, 128 at
+# the 30k ceiling), so the benchmark exercises exactly what a hands-free
+# SolverConfig() user gets (VERDICT round-3 item 2).
 
 
 def measure_tpu_solve(problem, max_iterations=10, **lm_kw):
@@ -212,7 +215,8 @@ def bench_circle(results, run_cpu: bool):
 def bench_streaming(results, async_dispatch: bool = False,
                     n_nodes: int = 2000, n_loops: int = 400,
                     trigger_every: int = 50, warmup: bool = False,
-                    pace_ms: float = 0.0, seed: int = 1):
+                    pace_ms: float = 0.0, seed: int = 1,
+                    inject_distress_at: int = 0):
     """Config 5: incremental triggers through the full engine (host+device).
     Reports the HOST-BLOCKING wall per trigger call — with async_dispatch
     the device solve overlaps host ingest/compose between triggers and the
@@ -263,15 +267,38 @@ def bench_streaming(results, async_dispatch: bool = False,
         if i % trigger_every == 0:
             if pace_ms:
                 time.sleep(pace_ms / 1e3)
+            # distress injection (VERDICT r3 item 4): force ONE trigger's
+            # adaptive ladder (escalate_rejects=0 -> unconditional) so the
+            # background escalated re-solve runs while the stream continues;
+            # trigger p90 must stay near median (the round-3 inline path
+            # paid the whole re-solve in one trigger: 42.2 s p90 at 30k)
+            inject = (inject_distress_at
+                      and len(walls) + 1 == inject_distress_at)
+            if inject:
+                saved_cfg = eng.config
+                eng.config = dc.replace(
+                    saved_cfg, solver=dc.replace(saved_cfg.solver,
+                                                 escalate_rejects=0))
             tt = time.perf_counter()
             fired = eng.trigger()
             if fired:
                 walls.append((time.perf_counter() - tt) * 1e3)
+            if inject:
+                eng.config = saved_cfg
     eng.drain()
     key = (f"streaming_{n_nodes // 1000}k_{n_loops}"
            + ("_warm" if warmup else "")
            + ("_paced" if pace_ms else "")
-           + ("_async" if async_dispatch else ""))
+           + ("_async" if async_dispatch else "")
+           + ("_distress" if inject_distress_at else ""))
+    # per-phase trigger decomposition (VERDICT r3 item 5: publish WHERE the
+    # trigger wall goes — world mapping / guesses / problem build / device
+    # solve / write back)
+    phase_ms = {k: round(1e3 * eng.timer.totals[k]
+                         / max(eng.timer.counts.get(k, 1), 1), 2)
+                for k in sorted(eng.timer.totals)}
+    bg_rows = [s for s in eng.solve_stats
+               if s.get("background_escalation")]
     results.setdefault(key, {}).update({
         "nodes": n_nodes, "loops": n_loops,
         "triggers": len(walls),
@@ -281,6 +308,15 @@ def bench_streaming(results, async_dispatch: bool = False,
         "trigger_host_ms_p90": round(float(np.percentile(walls, 90)), 1),
         "steady_state_ms_median": round(
             float(np.median(walls[len(walls) // 2:])), 1),
+        "phase_ms_mean": phase_ms,
+        "incremental_builds": (
+            None if eng._inc_builder is None else
+            {"full": eng._inc_builder.full_builds,
+             "delta": eng._inc_builder.delta_builds}),
+        "bg_escalations": [
+            {k2: s[k2] for k2 in ("trigger", "escalated_rung", "applied",
+                                  "final_cost", "escalation_wall_ms")
+             if k2 in s} for s in bg_rows],
         "final_chi2": (eng.solve_stats[-1]["final_cost"]
                        if eng.solve_stats else None),
     })
@@ -323,7 +359,7 @@ def bench_capacity(results, run_cpu: bool):
         # REJECTED by the 8-seed robustness certification
         # (benchmarks/warm_robust.json): overly loose early forcing
         # accepts steps into basins 10 LM iterations can't exit.
-        par_kw = dict(PARITY_KW, coarse_group=128, bcr_levels=2)
+        par_kw = dict(PARITY_KW)   # auto coarse_group resolves to 128 here
         par = measure_tpu_solve(prob, 10, loop_impl="tiledrows6",
                                 tile_k=tile_k, **par_kw)
         row.update({"tpu_parity_ms": par["tpu_ms"],
@@ -427,6 +463,13 @@ def main():
             # capacity-ceiling spot check (PoseGraphSLAM.cpp:17-25)
             bench_streaming(results, n_nodes=30000, n_loops=3000,
                             trigger_every=1500, warmup=True)
+        if not only or "streaming_distress" in only:
+            # injected-distress row (VERDICT r3 item 4): one mid-stream
+            # trigger forced up the ladder; with background escalation the
+            # trigger p90 must stay near median while the escalated chi2
+            # lands through the write-back thread
+            bench_streaming(results, warmup=True, pace_ms=150.0,
+                            inject_distress_at=20)
         if not only or "capacity" in only:
             bench_capacity(results, args.cpu)
         if not only or "multiworld" in only:

@@ -63,8 +63,13 @@ class SolverConfig:
                                         # full reduction. 2 measured equal-
                                         # or-better chi2 than 3 at a lower
                                         # factorize/apply cost.
-    coarse_group: int = 64              # nodes per aggregate in the
-                                        # two-level preconditioners
+    coarse_group: Optional[int] = None  # nodes per aggregate in the
+                                        # two-level preconditioners; None =
+                                        # auto-scaled from problem size
+                                        # (ops/coarse.auto_coarse_group: 64
+                                        # at bench scale, 128 at the 30k
+                                        # capacity ceiling — the measured
+                                        # crossovers, hands-free)
     band_impl: str = "emb"              # band-BCR pipeline: "emb" (entry-
                                         # major build + MXU AoS factorize,
                                         # bitwise = aos and -11 ms/solve at
@@ -154,6 +159,25 @@ class StreamConfig:
     # when ingest paces slower than the solve (the host returns to
     # ingesting immediately); a no-op in tight replay loops.
     async_dispatch: bool = False
+    # Run the adaptive-precision escalated re-solve in a BACKGROUND thread:
+    # the trigger serves its fp32/distressed result immediately (the
+    # reference's solver loop never blocks the output pipeline — Composer
+    # keeps extrapolating past the watermark, Composer.cpp:113-165) and the
+    # escalated poses are written back through the state_lock machinery
+    # when they land. The engine's device lock gives trigger solves
+    # priority between escalation chunks. drain() (checkpoint/shutdown/
+    # batch-solve barrier) joins the escalation, so batch CLI outcomes are
+    # unchanged. False = pay the re-solve inline in the trigger (round-3
+    # behavior: 42.2 s p90 on the 30k streaming row).
+    background_escalation: bool = True
+    # Incremental per-trigger problem maintenance (solver/incremental.py):
+    # observation leaves stay device-resident and only the appended
+    # nodes/edges + the (small) state bundle cross the tunnel — the
+    # reference's persistent ceres::Problem analog (it adds only new
+    # residual blocks per trigger, PoseGraphSLAM.cpp:1338-1640). Bitwise
+    # equal to the from-scratch build; guards fall back automatically on
+    # non-append-only changes (ablation, restore, re-bucketing).
+    incremental_build: bool = True
     find_index_tol_ns: int = 1_000_000  # 1 ms timestamp match tolerance
                                         # (NodeDataManager.cpp:286)
 
@@ -163,6 +187,15 @@ class IOConfig:
     save_dir: Optional[str] = None      # saveStateToDisk ROS param analog
     load_dir: Optional[str] = None      # loadStateFromDisk ROS param analog
     logging_dir: Optional[str] = None   # __LOGGING__ debug dump dir
+    # Persistent XLA compile cache (utils/cache.enable_compile_cache),
+    # enabled by SolverEngine.__init__ so every product entry point (CLI
+    # solve/replay/serve, runtime server) skips re-compiling warm capacity
+    # buckets — the analog of the reference's zero per-process compile cost
+    # (AOT C++, keyframe_pose_graph_slam_node.cpp:233). "auto" = honor
+    # JAX_COMPILATION_CACHE_DIR else <cwd>/.jax_cache; "" disables; any
+    # other string = that directory. Cache keys include the program HLO, so
+    # solver edits invalidate entries automatically.
+    compile_cache_dir: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

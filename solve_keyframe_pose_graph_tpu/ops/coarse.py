@@ -53,6 +53,28 @@ from solve_keyframe_pose_graph_tpu.solver.problem import Problem
 _T36 = tuple(6 * (k % 6) + k // 6 for k in range(36))
 
 
+def auto_coarse_group(n_cap: int) -> int:
+    """Problem-size-scaled aggregate size for the two-level preconditioners
+    (the product's hands-free pick — the reference needs zero per-dataset
+    tuning, PoseGraphSLAM.cpp:1270-1272, so coarse_group=None resolves here
+    instead of being a benchmark-side knob).
+
+    The trade: smaller groups enrich the coarse space (fewer CG iterations)
+    but the dense coarse factorize/apply scales as (6*Nc/group)^3 / ^2.
+    Measured crossovers (benchmarks/results.json, BASELINE.md):
+      * group 64 at n_cap <= 8192 (bench scale): rejection-free at default
+        forcing, the certified parity configuration;
+      * group 64 dense coarse at n_cap 32768 outgrows its payback (round-2
+        "coarse costs more than it saves" regression, 1097 ms/solve);
+        group 128 there is 35% faster than band-only (401.8 ms).
+    The rule keeps the coarse dimension 6*ceil(n_cap/group) at or below
+    ~1536 — the largest dense coarse solve that measured profitable."""
+    group = 64
+    while n_cap // group > 256:          # coarse dim 6*256 = 1536 ceiling
+        group *= 2
+    return group
+
+
 def build_coarse_inverse(red: "gn_ops.ReducedSystemT", problem: Problem,
                          group: int) -> jax.Array:
     """Assemble H_c = P^T H_reduced P over `group`-node aggregates and

@@ -24,11 +24,22 @@ BASELINE.md), block-Jacobi. Two guards make the trust region robust to the
 inexact solve: a rejection safeguard (a rejected step's retry solves CG
 with 10x tighter forcing — a no-op when every step accepts) and the
 model-cost computation from exact CG-recurrence quantities.
+
+Execution shapes: `lm_solve` runs the whole LM loop as ONE jitted program
+(the fast path); `lm_solve_chunked` runs the IDENTICAL loop as per-chunk
+device dispatches with the loop state carried device-resident between them
+— semantically the same trajectory, but no single dispatch exceeds one LM
+iteration's work. The chunked form is what lets the emulated-fp64
+escalation rung run at ANY capacity: a single whole-solve fp64 dispatch
+beyond ~100 s reproducibly faults the device (UNAVAILABLE), which
+previously capped the full-precision rung at 8192 nodes (VERDICT round-3
+item 1); chunked, the 30k-capacity fp64 re-solve is just ~10 bounded
+dispatches.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -104,107 +115,43 @@ def _apply_step(q, t, s, dx_n, dx_s, node_mask, renormalize: bool):
     return q * (1 - m) + q_new * m, t + dt_ * m, s + dx_s
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "max_iterations", "max_cg_iterations", "renormalize", "preconditioner",
-        "freeze_preconditioner", "residual_mode", "use_switch",
-        "bcr_levels", "outer_unroll", "matvec_impl", "coarse_group",
-        "loop_impl", "cg_q_tolerance", "tile_k", "cg_warm_iters",
-        "precision", "band_impl",
-    ),
-)
-def lm_solve(
+def _lm_setup(
     problem: Problem,
     *,
+    cost0=None,
     max_iterations: int = 10,
     max_cg_iterations: int = 60,
-    cg_tolerance: float = 1e-2,
-    cg_q_tolerance: float = 0.0,    # 0 = off. Ceres' eta Q-rule (0.1) is
-                                    # implemented but OFF by default: with a
-                                    # strong preconditioner it truncates CG
-                                    # to ~2 iterations and the resulting
-                                    # inexact steps make the 10-iteration
-                                    # trust region rejection-chaotic
-                                    # (final chi2 varied 1.4-37 run to run).
-                                    # Residual forcing at 1e-2 + cap 60
-                                    # reproduces the reference's exact-solve
-                                    # chi2 on every benchmark graph.
-    initial_radius: float = 1e4,
-    function_tolerance: float = 1e-6,
-    parameter_tolerance: float = 1e-8,
+    cg_tolerance=1e-2,
+    cg_q_tolerance: float = 0.0,
+    initial_radius=1e4,
+    function_tolerance=1e-6,
+    parameter_tolerance=1e-8,
     renormalize: bool = True,
-    preconditioner: str = "band",   # "band" (BCR) | "jacobi" |
-                                    # "band+coarse" (additive two-level:
-                                    # band smoother + aggregation coarse
-                                    # grid carrying the loop blocks) |
-                                    # "band*coarse" (symmetrized
-                                    # multiplicative two-grid)
-    freeze_preconditioner: bool = False,  # factor once per solve (stale but
-                                          # cheap) vs once per LM iteration
-    residual_mode: str = "6dof",    # "6dof" (active path) | "4dof" (Euler
-                                    # variant, CeresResidues.h:252-422)
-    use_switch: bool = True,        # False: plain loop edges, no switch vars
-    bcr_levels=3,                   # truncate band cyclic reduction (see
-                                    # band.bcr_factorize): measured equal or
-                                    # BETTER chi2 than the full reduction at
-                                    # a fraction of the factorize/apply cost
-    outer_unroll: bool = False,     # unroll the LM loop (see below)
-    matvec_impl: str = "auto",      # "auto" (pallas on TPU, xla on CPU) |
-                                    # "xla" | "pallas"
-    coarse_group: int = 32,         # nodes per coarse aggregate for the
-                                    # two-level preconditioners
-    cg_warm_iters: int = 0,         # first K LM iterations solve CG with a
-                                    # cg_warm_mult-times looser forcing: far
-                                    # from the optimum the trust region
-                                    # accepts crude steps, so tight inner
-                                    # solves there only burn iterations
-    cg_warm_mult: float = 3.0,
-    tile_k: int = 768,              # static per-tile dup-edge capacity for
-                                    # loop_impl="tiled" (gn.tile_k_for picks
-                                    # it from the actual edge distribution;
-                                    # must be >= the max 128-node-tile load)
-    loop_impl: str = "sorted2",     # "sorted2" (per-endpoint permute +
-                                    # cumsum + boundary-diff; v0's cheap
-                                    # einsums untouched) | "scatter"
-                                    # (at[].add) | "sorted" | "sorted36"
-                                    # (duplicated-edge cumsum forms).
-                                    # Measured IN-CONTEXT on the 5k/10k
-                                    # bench: sorted2 190 ms/solve, scatter
-                                    # 221, sorted 245, sorted36 381. The
-                                    # duplicated forms win 1.8x in isolated
-                                    # fori_loop probes but LOSE in the real
-                                    # nested while_loop (padded (K,6,6)
-                                    # intermediates get materialized);
-                                    # sorted2 keeps the einsum operands
-                                    # identical to scatter and only
-                                    # replaces the two scatter-adds.
-    band_impl: str = "emb",         # band-BCR preconditioner pipeline:
-                                    # "emb" (entry-major BUILD feeding the
-                                    # MXU AoS factorize —
-                                    # band_em.build_band_system_emb;
-                                    # bitwise = aos, MEASURED -11.3 ms/solve
-                                    # at bench scale: 120.2 -> 108.9) |
-                                    # "aos" ((m,d,d) batched-matmul form,
-                                    # ops/band.py — the differential oracle)
-                                    # | "em" (entry-major end to end;
-                                    # MEASURED 1.6x SLOWER in-context:
-                                    # lane-batched (d,d,m) einsums are VPU
-                                    # work and lose the MXU)
-    precision: str = "native",      # "native" (problem dtype end-to-end) |
-                                    # "mixed" (float64 residual/Jacobian
-                                    # assembly, parameter state and
-                                    # accept/reject cost arithmetic; the
-                                    # reduced system, preconditioner and CG
-                                    # stay in the problem dtype). The cheap
-                                    # middle rung of the adaptive-precision
-                                    # ladder: fixes fp32-conditioning-
-                                    # limited graphs whose failure mode is
-                                    # assembly/cost cancellation (manhattan
-                                    # class) without paying the ~50x of an
-                                    # emulated-fp64 CG loop on TPU. Callers
-                                    # must trace under jax.enable_x64().
-) -> LMResult:
+    preconditioner: str = "band",
+    freeze_preconditioner: bool = False,
+    residual_mode: str = "6dof",
+    use_switch: bool = True,
+    bcr_levels=3,
+    matvec_impl: str = "auto",
+    coarse_group=None,
+    cg_warm_iters: int = 0,
+    cg_warm_mult=3.0,
+    tile_k: int = 768,
+    loop_impl: str = "sorted2",
+    band_impl: str = "emb",
+    precision: str = "native",
+):
+    """Build (init_state, body, cond) for the LM while-loop — the single
+    source of the loop semantics, shared by lm_solve (one whole-solve
+    program) and lm_solve_chunked (per-chunk dispatches, device-resident
+    state between them).
+
+    cost0: None for a fresh solve (the initial linearization is assembled
+    here and `init` is returned); a traced scalar when resuming a chunked
+    solve (the caller carries the loop state — `init` comes back None and
+    no initial assembly is traced into the program)."""
+    if coarse_group is None:
+        coarse_group = coarse_ops.auto_coarse_group(problem.q.shape[0])
     dt = problem.dtype
     f32 = lambda v: jnp.asarray(v, dt)
     mixed = precision == "mixed" and dt != jnp.float64
@@ -237,8 +184,14 @@ def lm_solve(
                           if mixed else blocks)
 
     q0, t0, s0 = problem_hi.q, problem_hi.t, problem_hi.switch
-    blocks0 = assemble_fn(q0, t0, s0)
-    cost0 = blocks0.cost
+    if cost0 is None:
+        blocks0 = assemble_fn(q0, t0, s0)
+        cost0 = blocks0.cost
+    else:
+        assert not freeze_preconditioner, (
+            "chunked resumption cannot rebuild a frozen preconditioner "
+            "from the initial linearization")
+        blocks0 = None
     # dest-sorted duplicated loop incidence: once per solve, loop-invariant
     # (enables the scatter-free loop matvec — gn.loop_matvec_sorted)
     if loop_impl in ("sorted", "sorted36"):
@@ -511,13 +464,140 @@ def lm_solve(
     def cond(state: _LoopState):
         return jnp.logical_and(state.k < max_iterations, jnp.logical_not(state.done))
 
-    init = _LoopState(
-        q=q0, t=t0, s=s0, blocks=blocks0, cost=cost0,
-        radius=f32(initial_radius), decrease_factor=f32(2.0),
-        k=jnp.int32(0), accepted=jnp.int32(0), distress=jnp.int32(0),
-        cg_total=jnp.int32(0),
-        done=jnp.asarray(False), tighten=jnp.asarray(False),
+    if blocks0 is None:
+        init = None
+    else:
+        init = _LoopState(
+            q=q0, t=t0, s=s0, blocks=blocks0, cost=cost0,
+            radius=f32(initial_radius), decrease_factor=f32(2.0),
+            k=jnp.int32(0), accepted=jnp.int32(0), distress=jnp.int32(0),
+            cg_total=jnp.int32(0),
+            done=jnp.asarray(False), tighten=jnp.asarray(False),
+        )
+    return init, body, cond
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_iterations", "max_cg_iterations", "renormalize", "preconditioner",
+        "freeze_preconditioner", "residual_mode", "use_switch",
+        "bcr_levels", "outer_unroll", "matvec_impl", "coarse_group",
+        "loop_impl", "cg_q_tolerance", "tile_k", "cg_warm_iters",
+        "precision", "band_impl",
+    ),
+)
+def lm_solve(
+    problem: Problem,
+    *,
+    max_iterations: int = 10,
+    max_cg_iterations: int = 60,
+    cg_tolerance: float = 1e-2,
+    cg_q_tolerance: float = 0.0,    # 0 = off. Ceres' eta Q-rule (0.1) is
+                                    # implemented but OFF by default: with a
+                                    # strong preconditioner it truncates CG
+                                    # to ~2 iterations and the resulting
+                                    # inexact steps make the 10-iteration
+                                    # trust region rejection-chaotic
+                                    # (final chi2 varied 1.4-37 run to run).
+                                    # Residual forcing at 1e-2 + cap 60
+                                    # reproduces the reference's exact-solve
+                                    # chi2 on every benchmark graph.
+    initial_radius: float = 1e4,
+    function_tolerance: float = 1e-6,
+    parameter_tolerance: float = 1e-8,
+    renormalize: bool = True,
+    preconditioner: str = "band",   # "band" (BCR) | "jacobi" |
+                                    # "band+coarse" (additive two-level:
+                                    # band smoother + aggregation coarse
+                                    # grid carrying the loop blocks) |
+                                    # "band*coarse" (symmetrized
+                                    # multiplicative two-grid)
+    freeze_preconditioner: bool = False,  # factor once per solve (stale but
+                                          # cheap) vs once per LM iteration
+    residual_mode: str = "6dof",    # "6dof" (active path) | "4dof" (Euler
+                                    # variant, CeresResidues.h:252-422)
+    use_switch: bool = True,        # False: plain loop edges, no switch vars
+    bcr_levels=3,                   # truncate band cyclic reduction (see
+                                    # band.bcr_factorize): measured equal or
+                                    # BETTER chi2 than the full reduction at
+                                    # a fraction of the factorize/apply cost
+    outer_unroll: bool = False,     # unroll the LM loop (see below)
+    matvec_impl: str = "auto",      # "auto" (pallas on TPU, xla on CPU) |
+                                    # "xla" | "pallas"
+    coarse_group: int | None = None,  # nodes per coarse aggregate for the
+                                    # two-level preconditioners; None =
+                                    # auto from problem size (coarse.
+                                    # auto_coarse_group — the hands-free
+                                    # product default, VERDICT r3 item 2)
+    cg_warm_iters: int = 0,         # first K LM iterations solve CG with a
+                                    # cg_warm_mult-times looser forcing: far
+                                    # from the optimum the trust region
+                                    # accepts crude steps, so tight inner
+                                    # solves there only burn iterations
+    cg_warm_mult: float = 3.0,
+    tile_k: int = 768,              # static per-tile dup-edge capacity for
+                                    # loop_impl="tiled" (gn.tile_k_for picks
+                                    # it from the actual edge distribution;
+                                    # must be >= the max 128-node-tile load)
+    loop_impl: str = "sorted2",     # "sorted2" (per-endpoint permute +
+                                    # cumsum + boundary-diff; v0's cheap
+                                    # einsums untouched) | "scatter"
+                                    # (at[].add) | "sorted" | "sorted36"
+                                    # (duplicated-edge cumsum forms).
+                                    # Measured IN-CONTEXT on the 5k/10k
+                                    # bench: sorted2 190 ms/solve, scatter
+                                    # 221, sorted 245, sorted36 381. The
+                                    # duplicated forms win 1.8x in isolated
+                                    # fori_loop probes but LOSE in the real
+                                    # nested while_loop (padded (K,6,6)
+                                    # intermediates get materialized);
+                                    # sorted2 keeps the einsum operands
+                                    # identical to scatter and only
+                                    # replaces the two scatter-adds.
+    band_impl: str = "emb",         # band-BCR preconditioner pipeline:
+                                    # "emb" (entry-major BUILD feeding the
+                                    # MXU AoS factorize —
+                                    # band_em.build_band_system_emb;
+                                    # bitwise = aos, MEASURED -11.3 ms/solve
+                                    # at bench scale: 120.2 -> 108.9) |
+                                    # "aos" ((m,d,d) batched-matmul form,
+                                    # ops/band.py — the differential oracle)
+                                    # | "em" (entry-major end to end;
+                                    # MEASURED 1.6x SLOWER in-context:
+                                    # lane-batched (d,d,m) einsums are VPU
+                                    # work and lose the MXU)
+    precision: str = "native",      # "native" (problem dtype end-to-end) |
+                                    # "mixed" (float64 residual/Jacobian
+                                    # assembly, parameter state and
+                                    # accept/reject cost arithmetic; the
+                                    # reduced system, preconditioner and CG
+                                    # stay in the problem dtype). The cheap
+                                    # middle rung of the adaptive-precision
+                                    # ladder: fixes fp32-conditioning-
+                                    # limited graphs whose failure mode is
+                                    # assembly/cost cancellation (manhattan
+                                    # class) without paying the ~50x of an
+                                    # emulated-fp64 CG loop on TPU. Callers
+                                    # must trace under jax.enable_x64().
+) -> LMResult:
+    init, body, cond = _lm_setup(
+        problem, cost0=None,
+        max_iterations=max_iterations,
+        max_cg_iterations=max_cg_iterations,
+        cg_tolerance=cg_tolerance, cg_q_tolerance=cg_q_tolerance,
+        initial_radius=initial_radius,
+        function_tolerance=function_tolerance,
+        parameter_tolerance=parameter_tolerance,
+        renormalize=renormalize, preconditioner=preconditioner,
+        freeze_preconditioner=freeze_preconditioner,
+        residual_mode=residual_mode, use_switch=use_switch,
+        bcr_levels=bcr_levels, matvec_impl=matvec_impl,
+        coarse_group=coarse_group, cg_warm_iters=cg_warm_iters,
+        cg_warm_mult=cg_warm_mult, tile_k=tile_k, loop_impl=loop_impl,
+        band_impl=band_impl, precision=precision,
     )
+    cost0 = init.cost
     if outer_unroll:
         # Unroll the outer LM loop into straight-line code with a done-mask
         # (semantically identical to the while loop; converged iterations
@@ -542,6 +622,76 @@ def lm_solve(
         iterations=final.k, successful_steps=final.accepted,
         distress_rejects=final.distress,
         total_cg_iterations=final.cg_total, converged=final.done,
+    )
+
+
+@lru_cache(maxsize=64)
+def _chunk_programs(kw_items: tuple):
+    """Jitted (init, chunk) programs for lm_solve_chunked, cached per
+    solver-kwarg tuple (all lm kwargs are hashable scalars/strings). The
+    chunk program runs the SAME body/cond closures as lm_solve — only the
+    outer loop is driven from the host, with the _LoopState pytree staying
+    device-resident between dispatches."""
+    kw = dict(kw_items)
+
+    @jax.jit
+    def init_fn(problem):
+        init, _, _ = _lm_setup(problem, cost0=None, **kw)
+        return init
+
+    @jax.jit
+    def chunk_fn(problem, state, k_end, cost0):
+        _, body, cond = _lm_setup(problem, cost0=cost0, **kw)
+        cond2 = lambda st: jnp.logical_and(cond(st), st.k < k_end)
+        return jax.lax.while_loop(cond2, body, state)
+
+    return init_fn, chunk_fn
+
+
+def lm_solve_chunked(problem: Problem, *, chunk_iters: int = 1,
+                     dispatch_lock=None, **lm_kw) -> LMResult:
+    """lm_solve semantics as bounded per-chunk device dispatches.
+
+    Identical trajectory to lm_solve (same body/cond closures, same loop
+    state), but at most `chunk_iters` LM iterations run per dispatch and
+    the host checks `done` between chunks. This bounds every dispatch to
+    ~(chunk_iters x (assembly + CG-cap)) device time — which is what makes
+    the emulated-fp64 escalation rung safe at ANY capacity: whole-solve
+    fp64 dispatches beyond ~100 s reproducibly fault the device
+    (UNAVAILABLE), the failure that used to cap the rung at 8192 nodes.
+    Overhead vs lm_solve: one host round trip (the `done` fetch — the only
+    reliable barrier over the tunneled device) plus one setup re-trace per
+    chunk; negligible against emulated-fp64 iteration cost.
+
+    dispatch_lock: optional threading.Lock acquired around each chunk's
+    dispatch+fetch. A streaming engine running this in a background thread
+    passes its device lock so latency-sensitive trigger solves get priority
+    between chunks (they wait at most one chunk, never the whole solve)."""
+    import contextlib
+
+    kw = dict(lm_kw)
+    kw.pop("outer_unroll", None)   # the host drive replaces any unrolling
+    max_iterations = int(kw.get("max_iterations", 10))
+    lock = (dispatch_lock if dispatch_lock is not None
+            else contextlib.nullcontext())
+    init_fn, chunk_fn = _chunk_programs(tuple(sorted(kw.items())))
+    with lock:
+        state = init_fn(problem)
+        cost0 = state.cost
+        k = 0
+        done = bool(state.done)
+    while k < max_iterations and not done:
+        k_end = jnp.int32(min(k + chunk_iters, max_iterations))
+        with lock:
+            state = chunk_fn(problem, state, k_end, cost0)
+            k = int(state.k)   # host fetch: the inter-chunk barrier
+            done = bool(state.done)
+    return LMResult(
+        q=state.q, t=state.t, switch=state.s,
+        initial_cost=cost0, final_cost=state.cost,
+        iterations=state.k, successful_steps=state.accepted,
+        distress_rejects=state.distress,
+        total_cg_iterations=state.cg_total, converged=state.done,
     )
 
 
@@ -598,41 +748,42 @@ def needs_escalation(res: LMResult, escalate_rejects: int) -> bool:
     return int(res.distress_rejects) >= escalate_rejects
 
 
-# Largest node capacity the full-fp64 rung may run at. The rung is ONE
-# emulated-fp64 device dispatch whose runtime scales with n_cap x CG
-# iterations; ~100 s dispatches at n_cap 8192 are reliable, longer ones
-# reproducibly fault the device (UNAVAILABLE — see fp64_resolve). Beyond
-# this, the ladder tops out at the mixed rung (fp64 assembly/cost + fp32
-# CG, which runs at fp32 speed at any size).
-MAX_FP64_NCAP = 8192
-
-
-def escalate_resolve(problem: Problem, lm_kw: dict, escalate_rejects: int
-                     ) -> tuple[LMResult, str]:
+def escalate_resolve(problem: Problem, lm_kw: dict, escalate_rejects: int,
+                     *, dispatch_lock=None) -> tuple[LMResult, str]:
     """The escalation ladder, entered once an fp32 solve has shown distress:
     first the cheap "mixed" rung (fp64 assembly/cost + fp32 CG — fixes the
     assembly/cost-cancellation failure mode at ~2x fp32 cost), then the full
-    fp64 re-solve if mixed still shows overshoot rejections. Returns
-    (result, rung)."""
-    res_m = mixed_resolve(problem, lm_kw)
-    if (not needs_escalation(res_m, escalate_rejects)
-            or problem.q.shape[0] > MAX_FP64_NCAP):
+    fp64 re-solve if mixed still shows overshoot rejections. The fp64 rung
+    runs CHUNKED (one LM iteration per dispatch, lm_solve_chunked) and on a
+    problem REPACKED to its live size, so it is available at every capacity
+    — the reference's fp64-at-30k robustness envelope
+    (/root/reference/src/PoseGraphSLAM.cpp:17-25,1270) with no size cap
+    (VERDICT round-3 items 1 and 7). Returns (result, rung)."""
+    res_m = mixed_resolve(problem, lm_kw, dispatch_lock=dispatch_lock)
+    if not needs_escalation(res_m, escalate_rejects):
         return res_m, "mixed"
-    return fp64_resolve(problem, lm_kw), "fp64"
+    return fp64_resolve(problem, lm_kw, dispatch_lock=dispatch_lock), "fp64"
 
 
-def mixed_resolve(problem: Problem, lm_kw: dict) -> LMResult:
+def mixed_resolve(problem: Problem, lm_kw: dict, *,
+                  dispatch_lock=None) -> LMResult:
     """Re-run a solve with precision="mixed" (fp64 assembly + parameter
     state, fp32 linear algebra). Traced under the scoped jax.enable_x64()
     like fp64_resolve; the Pallas matvec still applies (the CG operands
     stay fp32)."""
+    import contextlib
+
     import jax as _jax
 
     kw = dict(lm_kw)
     kw["precision"] = "mixed"
-    with _jax.enable_x64():
+    lock = (dispatch_lock if dispatch_lock is not None
+            else contextlib.nullcontext())
+    with _jax.enable_x64(), lock:
         res = lm_solve(problem, **kw)
-        _jax.block_until_ready(res)
+        # host fetch (not block_until_ready) — the reliable barrier over a
+        # tunneled device, and it must complete under the dispatch lock
+        float(res.final_cost)
     return res
 
 
@@ -670,7 +821,8 @@ def solve_problem_adaptive(problem: Problem, solver_cfg,
     return lm_solve(problem, **kw), False
 
 
-def fp64_resolve(problem: Problem, lm_kw: dict) -> LMResult:
+def fp64_resolve(problem: Problem, lm_kw: dict, *,
+                 chunk_iters: int = 1, dispatch_lock=None) -> LMResult:
     """Re-run a solve in float64 (the escalation leg of lm_solve_adaptive,
     callable separately by hosts that defer the rejection check — e.g. the
     streaming engine's async collect path).
@@ -680,10 +832,23 @@ def fp64_resolve(problem: Problem, lm_kw: dict) -> LMResult:
     integer default widths — is untouched. Inside the scope, dtype-less
     integer constructors would default to int64, which the TPU compiler
     cannot lower (layout check: bitwidth <= 32); all traced index
-    constructors in ops/ are therefore pinned to int32 explicitly."""
+    constructors in ops/ are therefore pinned to int32 explicitly.
+
+    Two capacity measures (VERDICT round-3 items 1 and 7) make this rung
+    available at EVERY problem size:
+      * the problem is REPACKED to the smallest 1024-multiple capacity
+        covering its live node/edge ranges (an 8.3k graph in a 16k bucket
+        solves at 9216, not 16384 — the rung's cost tracks the graph, not
+        the bucket), and the result is padded back to the caller's shapes;
+      * the solve runs CHUNKED (lm_solve_chunked, one LM iteration per
+        dispatch): no dispatch exceeds one iteration's work, so the ~100 s
+        device dispatch envelope that used to cap the rung at 8192 nodes
+        (MAX_FP64_NCAP, removed) no longer binds at any capacity."""
     import jax as _jax
 
-    from solve_keyframe_pose_graph_tpu.solver.problem import problem_astype
+    from solve_keyframe_pose_graph_tpu.solver.problem import (
+        live_lengths, problem_astype, repack_problem,
+    )
 
     kw64 = dict(lm_kw)
     kw64["matvec_impl"] = "xla"      # Pallas kernels are fp32-only
@@ -696,22 +861,31 @@ def fp64_resolve(problem: Problem, lm_kw: dict) -> LMResult:
     # on perturbed bench instances (benchmarks/warm_robust.json). Tight
     # forcing makes the escalated trajectory track the exact one; the
     # extra CG iterations are irrelevant on a rung already paying ~50x
-    # for emulated fp64 arithmetic.
-    # Cap 100 / tol 1e-5 (not tighter): the rung runs as ONE device
-    # dispatch, and cap-150/cap-400 fp64 programs at bench scale
-    # reproducibly fault the device (UNAVAILABLE) on instances that run
-    # CG to the cap every LM iteration; cap-100 (~100 s worst-case
-    # dispatch, measured on bench_seed7) executes reliably AND already
-    # tracks the exact-step reference to +0.04% there
-    # (benchmarks/warm_robust.json).
+    # for emulated fp64 arithmetic. Forcing 1e-5 cap 100: certified on the
+    # perturbed bench seeds (tracks the exact-step reference to +0.04% on
+    # the worst instance); chunking means the cap is no longer a device-
+    # envelope constraint, so it is purely the certified quality setting.
     kw64["cg_tolerance"] = min(1e-5, float(lm_kw.get("cg_tolerance", 1e-2)))
     kw64["max_cg_iterations"] = max(100,
                                     int(lm_kw.get("max_cg_iterations", 60)))
     kw64["cg_warm_iters"] = 0
     kw64["cg_q_tolerance"] = 0.0
+    n_len, e_len = live_lengths(problem)
+    small = repack_problem(problem, n_len, e_len)
     with _jax.enable_x64():
-        res = lm_solve(problem_astype(problem, jnp.float64), **kw64)
-        _jax.block_until_ready(res)
+        res = lm_solve_chunked(problem_astype(small, jnp.float64),
+                               chunk_iters=chunk_iters,
+                               dispatch_lock=dispatch_lock, **kw64)
+    if small.n_cap != problem.n_cap or small.e_cap != problem.e_cap:
+        # pad the result back to the caller's capacities (truncated trailing
+        # entries are masked-out padding/dead zones — keep their input
+        # values so callers' fixed-shape slicing contracts hold)
+        res = res._replace(
+            q=jnp.asarray(problem.q, res.q.dtype).at[:small.n_cap].set(res.q),
+            t=jnp.asarray(problem.t, res.t.dtype).at[:small.n_cap].set(res.t),
+            switch=jnp.asarray(problem.switch, res.switch.dtype)
+                      .at[:small.e_cap].set(res.switch),
+        )
     return res
 
 
@@ -737,7 +911,7 @@ def cfg_lm_kwargs(solver_cfg, residual_mode: str = "6dof",
         residual_mode=residual_mode,
         use_switch=use_switch,
         bcr_levels=getattr(solver_cfg, "bcr_levels", None),
-        coarse_group=getattr(solver_cfg, "coarse_group", 32),
+        coarse_group=getattr(solver_cfg, "coarse_group", None),
         cg_warm_iters=getattr(solver_cfg, "cg_warm_iters", 0),
         cg_warm_mult=getattr(solver_cfg, "cg_warm_mult", 3.0),
         band_impl=getattr(solver_cfg, "band_impl", "aos"),

@@ -58,6 +58,14 @@ class SolverEngine:
         self.store = store
         self.config = config or Config()
 
+        # persistent compile cache (config-gated; see utils/cache): the
+        # production analog of the reference's AOT zero-compile startup
+        from solve_keyframe_pose_graph_tpu.utils.cache import (
+            enable_compile_cache,
+        )
+        enable_compile_cache(
+            getattr(self.config.io, "compile_cache_dir", "auto"))
+
         cap = self.config.capacity.initial_nodes
         self._opt_q = np.zeros((cap, 4)); self._opt_q[:, 3] = 1.0
         self._opt_t = np.zeros((cap, 3))
@@ -88,6 +96,19 @@ class SolverEngine:
         self.state_lock = threading.RLock()
         # in-flight async solve (stream.async_dispatch): see trigger()
         self._pending = None
+        # serializes device dispatch between trigger solves and background-
+        # escalation chunks: the escalation thread acquires it around each
+        # chunk, so a latency-sensitive trigger waits at most ONE chunk
+        # (never the whole escalated re-solve)
+        self._device_lock = threading.Lock()
+        # in-flight background escalated re-solve (stream.background_
+        # escalation); joined by drain()
+        self._bg_thread: Optional[threading.Thread] = None
+        # incremental per-trigger problem maintenance (stream.
+        # incremental_build): device-resident observation leaves + packed
+        # state/delta transfer — the reference's persistent ceres::Problem
+        # analog (PoseGraphSLAM.cpp:1338-1640), solver/incremental.py
+        self._inc_builder = None
         # (problem, lm_kwargs) of the latest dispatch, for the deferred
         # adaptive-fp64 escalation check in _finish_solve
         self._last_dispatch = None
@@ -240,9 +261,10 @@ class SolverEngine:
 
         self._changes_to_setid.clear()
 
-        # ---- 6: device solve
+        # ---- 6: device solve (under the device lock so a background
+        # escalation never enqueues a chunk between our dispatch and fetch)
         self.status = 2
-        with timer.phase("device_solve"):
+        with timer.phase("device_solve"), self._device_lock:
             res = self._solve_device(node_len, edge_len, node_worlds,
                                      prior_idx, prior_q, prior_t, prior_w)
             if self.config.stream.async_dispatch:
@@ -283,8 +305,17 @@ class SolverEngine:
         self._finish_solve(res, node_len, edge_len, node_worlds, tid, t0)
         return True
 
-    # drain() is the checkpoint/shutdown barrier
-    drain = collect
+    def drain(self) -> bool:
+        """Checkpoint/shutdown/batch barrier: collect any in-flight async
+        solve AND join a background escalated re-solve (its write-back lands
+        before drain returns, so batch `trigger(); drain()` callers see the
+        same final state as the round-3 inline escalation)."""
+        got = self.collect()
+        t = self._bg_thread
+        if t is not None:
+            t.join()
+            self._bg_thread = None
+        return got
 
     def _finish_solve(self, res, node_len, edge_len, node_worlds, tid, t0
                       ) -> None:
@@ -295,17 +326,27 @@ class SolverEngine:
         # device fetch — so the async dispatch path stays non-blocking.
         escalated = False
         cfg = self.config
+        dispatch, self._last_dispatch = self._last_dispatch, None
         if (getattr(cfg.solver, "adaptive_fp64", False)
                 and cfg.solver.dtype != "float64"
-                and self._last_dispatch is not None):
+                and dispatch is not None):
             from solve_keyframe_pose_graph_tpu.ops import lm as lm_ops
             k = getattr(cfg.solver, "escalate_rejects", 2)
             if lm_ops.needs_escalation(res, k):
-                problem, kw = self._last_dispatch
-                with timer.phase("fp64_escalation"):
-                    res, escalated = lm_ops.escalate_resolve(problem, kw, k)
-                    res = jax.device_get(res)
-        self._last_dispatch = None
+                problem, kw = dispatch
+                if getattr(cfg.stream, "background_escalation", False):
+                    # non-blocking: serve the fp32 result now, re-solve in
+                    # the background (VERDICT round-3 item 4; the reference
+                    # solver loop never blocks the output pipeline,
+                    # PoseGraphSLAM.cpp:1257 + Composer.cpp:113-165)
+                    if self._start_escalation(problem, kw, k, node_len,
+                                              edge_len, node_worlds, tid):
+                        escalated = "pending"
+                else:
+                    with timer.phase("fp64_escalation"):
+                        res, escalated = lm_ops.escalate_resolve(
+                            problem, kw, k)
+                        res = jax.device_get(res)
         # write back (under state_lock so a concurrent assemble() never sees
         # a half-updated pose set or a watermark ahead of the data). The
         # solve_stats append lives in the SAME locked section: its length is
@@ -341,6 +382,76 @@ class SolverEngine:
         timer.totals["trigger_total"] += time.perf_counter() - t0
         timer.counts["trigger_total"] += 1
         self.status = 0
+
+    # ------------------------------------------------------------------
+    # background escalated re-solve (stream.background_escalation)
+    # ------------------------------------------------------------------
+
+    def _start_escalation(self, problem, kw, k, node_len, edge_len,
+                          node_worlds, tid) -> bool:
+        """Launch the escalated re-solve in a daemon thread. One at a time:
+        while a re-solve is in flight, further distressed triggers keep
+        their fp32 results (the landing write-back improves the guesses the
+        NEXT trigger solves from, which is the recovery loop)."""
+        t = self._bg_thread
+        if t is not None and t.is_alive():
+            return False
+        # snapshot the world->setID map: if a set union lands while the
+        # re-solve runs, the escalated poses are in a pre-merge frame and
+        # writing them back would undo the re-basing — drop them instead
+        setid_snapshot = dict(self.store.worlds.get_world_to_setid_map())
+        t = threading.Thread(
+            target=self._run_escalation,
+            args=(problem, kw, k, node_len, edge_len, node_worlds, tid,
+                  setid_snapshot),
+            name=f"kpg-escalate-{tid}", daemon=True)
+        self._bg_thread = t
+        t.start()
+        return True
+
+    def _run_escalation(self, problem, kw, k, node_len, edge_len,
+                        node_worlds, tid, setid_snapshot) -> None:
+        from solve_keyframe_pose_graph_tpu.ops import lm as lm_ops
+        t0 = time.perf_counter()
+        try:
+            res, rung = lm_ops.escalate_resolve(
+                problem, kw, k, dispatch_lock=self._device_lock)
+            res = jax.device_get(res)
+        except Exception as e:          # an escalation failure must never
+            with self.state_lock:       # kill the solver loop
+                self.solve_stats.append({
+                    "trigger": tid, "background_escalation": True,
+                    "escalation_error": repr(e)})
+            return
+        wall_ms = 1000.0 * (time.perf_counter() - t0)
+        with self.state_lock:
+            stale = (dict(self.store.worlds.get_world_to_setid_map())
+                     != setid_snapshot)
+            if not stale:
+                q_new = np.asarray(res.q[:node_len], np.float64)
+                t_new = np.asarray(res.t[:node_len], np.float64)
+                sw_new = np.asarray(res.switch[:edge_len], np.float64)
+                active = ((node_worlds[:node_len] >= 0)
+                          & ~self._opt_frozen[:node_len])
+                self._opt_q[:node_len][active] = q_new[active]
+                self._opt_t[:node_len][active] = t_new[active]
+                self._switch[:edge_len] = sw_new
+                self.last_result = res
+            # the stats append bumps the trajectory version (Composer), so
+            # the escalated poses and the version change atomically
+            self.solve_stats.append({
+                "trigger": tid, "node_len": node_len, "edge_len": edge_len,
+                "background_escalation": True, "escalated_rung": rung,
+                "applied": not stale,
+                "initial_cost": float(res.initial_cost),
+                "final_cost": float(res.final_cost),
+                "lm_iterations": int(res.iterations),
+                "successful_steps": int(res.successful_steps),
+                "cg_iterations": int(res.total_cg_iterations),
+                "escalation_wall_ms": wall_ms,
+            })
+        self.timer.totals["fp64_escalation"] += wall_ms / 1000.0
+        self.timer.counts["fp64_escalation"] += 1
 
     def _set_initial_guesses(self, node_len: int, node_worlds: np.ndarray
                              ) -> None:
@@ -506,7 +617,7 @@ class SolverEngine:
                prior_t, prior_w, n_cap, e_cap, p_cap, dtype, ea, eb, eq, et,
                ew, loop_valid, vio_q, vio_t):
         cfg = self.config
-        problem = build_problem_np(
+        kwargs = dict(
             q=self._opt_q[:node_len], t=self._opt_t[:node_len],
             vio_q=vio_q, vio_t=vio_t,
             node_valid=node_worlds >= 0,
@@ -520,12 +631,28 @@ class SolverEngine:
             prior_w=np.asarray(prior_w),
             node_free=~self._opt_frozen[:node_len],
             n_cap=n_cap, e_cap=e_cap, p_cap=p_cap,
+            dtype=dtype,
+        )
+        # incremental path (default): O(new work) per trigger, bitwise equal
+        # to the from-scratch build. The multi-chip path keeps the full
+        # build — shard_problem re-places the pytree per trigger anyway.
+        if (getattr(cfg.stream, "incremental_build", False)
+                and cfg.mesh.n_devices <= 1):
+            if self._inc_builder is None:
+                from solve_keyframe_pose_graph_tpu.solver.incremental import (
+                    IncrementalBuilder,
+                )
+                self._inc_builder = IncrementalBuilder(
+                    fanout=cfg.residual.odometry_fanout,
+                    odo_decay=cfg.residual.odometry_decay,
+                    odo_yaw_sigma2=cfg.residual.odometry_yaw_sigma2)
+            return self._inc_builder.build(**kwargs)
+        return build_problem_np(
             fanout=cfg.residual.odometry_fanout,
             odo_decay=cfg.residual.odometry_decay,
             odo_yaw_sigma2=cfg.residual.odometry_yaw_sigma2,
-            dtype=dtype,
+            **kwargs,
         )
-        return problem
 
     # ------------------------------------------------------------------
     # checkpoint-restore support (PoseGraphSLAM::load_state, :40-170)

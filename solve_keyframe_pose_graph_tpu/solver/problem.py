@@ -287,6 +287,54 @@ def build_problem_np(
     return transfer_problem(host)
 
 
+def live_lengths(p: Problem) -> tuple[int, int]:
+    """(node_len, edge_len) upper bounds recovered from the masks (one host
+    fetch each). Padding beyond the live ranges is all-zero by construction
+    (build_problem_np), so the last set mask entry bounds the live length;
+    in-range masked entries (kidnap dead zones, ablated edges) stay inside
+    the bound. Used by the escalation rung to repack an oversized capacity
+    bucket down to the live problem (VERDICT round-3 item 7)."""
+    nm = np.asarray(p.node_mask)
+    em = np.asarray(p.loop_mask)
+    nz = np.nonzero(nm > 0.5)[0]
+    ez = np.nonzero(em > 0.5)[0]
+    n_len = int(nz[-1]) + 1 if nz.size else 1
+    e_len = int(ez[-1]) + 1 if ez.size else 1
+    return n_len, e_len
+
+
+def repack_problem(p: Problem, n_len: int, e_len: int,
+                   granularity: int = 1024) -> Problem:
+    """Slice a Problem down to the smallest granularity-multiple capacities
+    covering (n_len, e_len). Device-side slices (no host round trip); a
+    no-op when the capacities already fit. Safe because every cross-
+    reference stays in range: valid loop/prior indices point at live nodes,
+    and masked padding edges alias node 0 (build_problem_np zeros them).
+
+    Why 1024-granular instead of the engine's power-of-two buckets: the
+    fp64 escalation rung pays ~50x per element, and an 8.3k-node graph in a
+    16,384 bucket would otherwise pay for 2x the live problem; distinct
+    escalation capacities are rare enough that the extra compile keys are
+    irrelevant."""
+    g = int(granularity)
+    n_cap = min(p.n_cap, max(g, -(-int(n_len) // g) * g))
+    e_cap = min(p.e_cap, max(g, -(-int(e_len) // g) * g))
+    if n_cap == p.n_cap and e_cap == p.e_cap:
+        return p
+    return Problem(
+        q=p.q[:n_cap], t=p.t[:n_cap],
+        node_mask=p.node_mask[:n_cap], free_mask=p.free_mask[:n_cap],
+        odo_q=p.odo_q[:, :n_cap], odo_t=p.odo_t[:, :n_cap],
+        odo_w=p.odo_w[:, :n_cap], odo_mask=p.odo_mask[:, :n_cap],
+        loop_a=p.loop_a[:e_cap], loop_b=p.loop_b[:e_cap],
+        loop_q=p.loop_q[:e_cap], loop_t=p.loop_t[:e_cap],
+        loop_w=p.loop_w[:e_cap], loop_mask=p.loop_mask[:e_cap],
+        switch=p.switch[:e_cap],
+        prior_idx=p.prior_idx, prior_q=p.prior_q, prior_t=p.prior_t,
+        prior_w=p.prior_w, prior_mask=p.prior_mask,
+    )
+
+
 def problem_astype(p: Problem, dtype) -> Problem:
     """Cast a Problem's float leaves to `dtype` (int leaves untouched).
 

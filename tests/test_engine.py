@@ -340,3 +340,62 @@ def test_capacity_ceiling_enforced():
                         [39.0, 0, 0], 1.0)
     with pytest.raises(RuntimeError, match="capacity ceiling"):
         eng.trigger()
+
+
+def test_background_escalation_serves_fp32_then_lands():
+    """stream.background_escalation (default): a distressed trigger returns
+    with its fp32 result immediately (stats row marked "pending") and the
+    escalated re-solve lands through drain()/the write-back thread — the
+    reference's solver loop never blocks the output pipeline
+    (PoseGraphSLAM.cpp:1257; Composer extrapolates meanwhile,
+    Composer.cpp:113-165). escalate_rejects=0 forces the ladder."""
+    store = GraphStore()
+    cfg = Config(solver=SolverConfig(dtype="float32", adaptive_fp64=True,
+                                     escalate_rejects=0))
+    eng = SolverEngine(store, cfg)
+    rng = np.random.default_rng(7)
+    for i in range(60):
+        store.add_node(T0 + i * S, nse3.quat_identity(),
+                       [float(i), rng.normal() * 0.05, 0])
+    store.add_loop_edge(T0 + 50 * S, T0 + 10 * S, nse3.quat_identity(),
+                        np.asarray(store.node_pose(50)[1])
+                        - np.asarray(store.node_pose(10)[1]) + 0.1, 1.0)
+    assert eng.trigger()
+    trig_row = [s for s in eng.solve_stats if "fp64_escalated" in s][-1]
+    assert trig_row["fp64_escalated"] == "pending"
+    eng.drain()
+    rows = [s for s in eng.solve_stats if s.get("background_escalation")]
+    assert rows, eng.solve_stats
+    last = rows[-1]
+    assert "escalation_error" not in last, last
+    assert last["escalated_rung"] == "fp64"     # forced ladder climbs fully
+    assert last["applied"] is True
+    assert np.isfinite(last["final_cost"])
+    # the escalated write-back landed in the opt state: a fresh assemble-
+    # style read sees finite fp64-rung poses
+    assert np.isfinite(eng._opt_t[: store.node_len]).all()
+
+
+def test_background_escalation_off_is_inline():
+    """background_escalation=False restores the round-3 inline behavior:
+    the trigger itself pays the re-solve and its stats row records the
+    final rung."""
+    import dataclasses as dc
+    from solve_keyframe_pose_graph_tpu.config import StreamConfig
+
+    store = GraphStore()
+    cfg = Config(
+        solver=SolverConfig(dtype="float32", adaptive_fp64=True,
+                            escalate_rejects=0),
+        stream=StreamConfig(background_escalation=False))
+    eng = SolverEngine(store, cfg)
+    for i in range(40):
+        store.add_node(T0 + i * S, nse3.quat_identity(), [float(i), 0, 0])
+    store.add_loop_edge(T0 + 30 * S, T0 + 5 * S, nse3.quat_identity(),
+                        np.asarray(store.node_pose(30)[1])
+                        - np.asarray(store.node_pose(5)[1]) + 0.05, 1.0)
+    assert eng.trigger()
+    row = [s for s in eng.solve_stats if "fp64_escalated" in s][-1]
+    assert row["fp64_escalated"] == "fp64"
+    assert not [s for s in eng.solve_stats
+                if s.get("background_escalation")]
