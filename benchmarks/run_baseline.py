@@ -323,6 +323,57 @@ def bench_streaming(results, async_dispatch: bool = False,
     print(key, json.dumps(results[key]))
 
 
+_WARMUP_SCRIPT = """
+import dataclasses as dc, json, time
+from solve_keyframe_pose_graph_tpu.config import Config
+from solve_keyframe_pose_graph_tpu.graph.store import GraphStore
+from solve_keyframe_pose_graph_tpu.solver.engine import SolverEngine
+cfg = Config()
+cfg = dc.replace(cfg, solver=dc.replace(cfg.solver, loop_impl="sorted2"))
+eng = SolverEngine(GraphStore(), cfg)
+t0 = time.perf_counter()
+n = eng.warmup({nodes}, {edges})
+print(json.dumps({{"programs": n,
+                   "warmup_s": round(time.perf_counter() - t0, 1)}}))
+"""
+
+
+def bench_warmup_cache(results, n_nodes=10000, n_loops=2000):
+    """VERDICT r3 item 6: production startup with the persistent compile
+    cache. Two FRESH processes warm the same capacity buckets against the
+    same (initially empty) cache directory: the first pays the compiles
+    and populates it; the second must replay cached executables (<60 s at
+    10k scale vs the ~493 s cold wall of round 3). The engine enables the
+    cache itself (IOConfig.compile_cache_dir="auto" honors
+    JAX_COMPILATION_CACHE_DIR) — this measures exactly what a user's
+    second `kpg-solve serve --warmup-nodes` startup costs."""
+    import shutil
+    import tempfile
+
+    cache = tempfile.mkdtemp(prefix="kpg_cache_bench_")
+    env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=cache)
+    row = {"nodes": n_nodes, "loops": n_loops}
+    try:
+        for attempt in ("cold", "warm"):
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 _WARMUP_SCRIPT.format(nodes=n_nodes, edges=n_loops)],
+                capture_output=True, text=True, timeout=3600, env=env,
+                cwd=ROOT)
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    d = json.loads(line)
+                    row[f"{attempt}_warmup_s"] = d["warmup_s"]
+                    row["programs"] = d["programs"]
+            if f"{attempt}_warmup_s" not in row:
+                row[f"{attempt}_error"] = out.stderr[-500:]
+                break
+    finally:
+        shutil.rmtree(cache, ignore_errors=True)
+    results[f"warmup_cache_{n_nodes // 1000}k"] = row
+    print("warmup_cache", json.dumps(row))
+
+
 def bench_capacity(results, run_cpu: bool):
     """The reference's hard capacity ceiling — 30,000 nodes / 30,000 loop
     edges (static arrays, PoseGraphSLAM.cpp:17-25): one 10-iteration solve
@@ -472,6 +523,9 @@ def main():
                             inject_distress_at=20)
         if not only or "capacity" in only:
             bench_capacity(results, args.cpu)
+        if only and "warmup_cache" in only:
+            # explicit-only: two full warmups (~10 min first process)
+            bench_warmup_cache(results)
         if not only or "multiworld" in only:
             bench_multiworld(results)
     finally:

@@ -78,6 +78,16 @@ class LMResult(NamedTuple):
                                    # must not trigger the fp64 escalation.
     total_cg_iterations: jax.Array
     converged: jax.Array           # bool: hit a tolerance before the cap
+    cg_truncation: jax.Array       # max over LM iterations of the CG exit
+                                   # residual over its forcing target
+                                   # (sol.rel_residual / tol): ~<=1 means
+                                   # every linear solve met its forcing;
+                                   # >>1 means CG was CAP-TRUNCATED far
+                                   # above tolerance — the quality
+                                   # signature of preconditioner-hard
+                                   # graphs (sphere-class ring modes,
+                                   # BASELINE.md) whose steps are inexact
+                                   # without any fp32 distress
 
 
 class _LoopState(NamedTuple):
@@ -97,6 +107,7 @@ class _LoopState(NamedTuple):
     accepted: jax.Array
     distress: jax.Array          # overshoot-rejection count (LMResult doc)
     cg_total: jax.Array
+    cg_trunc: jax.Array          # running max of rel_residual / forcing
     done: jax.Array
     tighten: jax.Array           # bool: previous step was rejected ->
                                  # tighten the CG forcing for the retry
@@ -457,6 +468,8 @@ def _lm_setup(
             accepted=state.accepted + accept.astype(jnp.int32),
             distress=state.distress + overshoot.astype(jnp.int32),
             cg_total=state.cg_total + sol.iterations,
+            cg_trunc=jnp.maximum(state.cg_trunc,
+                                 sol.rel_residual / tol_k),
             done=done,
             tighten=jnp.logical_not(accept),
         )
@@ -471,7 +484,7 @@ def _lm_setup(
             q=q0, t=t0, s=s0, blocks=blocks0, cost=cost0,
             radius=f32(initial_radius), decrease_factor=f32(2.0),
             k=jnp.int32(0), accepted=jnp.int32(0), distress=jnp.int32(0),
-            cg_total=jnp.int32(0),
+            cg_total=jnp.int32(0), cg_trunc=jnp.zeros((), dt),
             done=jnp.asarray(False), tighten=jnp.asarray(False),
         )
     return init, body, cond
@@ -622,6 +635,7 @@ def lm_solve(
         iterations=final.k, successful_steps=final.accepted,
         distress_rejects=final.distress,
         total_cg_iterations=final.cg_total, converged=final.done,
+        cg_truncation=final.cg_trunc,
     )
 
 
@@ -692,6 +706,7 @@ def lm_solve_chunked(problem: Problem, *, chunk_iters: int = 1,
         iterations=state.k, successful_steps=state.accepted,
         distress_rejects=state.distress,
         total_cg_iterations=state.cg_total, converged=state.done,
+        cg_truncation=state.cg_trunc,
     )
 
 
