@@ -39,7 +39,7 @@ RESULTS = os.path.join(ROOT, "benchmarks", "warm_robust.json")
 GDIR = os.path.join(ROOT, "benchmarks", "graphs")
 
 BASE_KW = dict(cg_tolerance=1e-2, max_cg_iterations=60,
-               preconditioner="band+coarse", coarse_group=64)
+               preconditioner="band+coarse")
 
 
 def cpu_ref(path: str) -> dict:
@@ -122,9 +122,18 @@ def main():
             prob = problem_from_inputs(inp, n, e)
             pairs = np.asarray(inp["loop_pairs"])
             tile_k = gn.tile_k_for(pairs[:, 1], pairs[:, 0], prob.q.shape[0])
+            # the product's hands-free structure-aware coarse aggregate
+            # (what the engine computes per trigger) — the certification
+            # must certify exactly what a SolverConfig() user runs
+            from solve_keyframe_pose_graph_tpu.ops.coarse import (
+                auto_coarse_group, median_loop_offset)
+            grp = auto_coarse_group(
+                prob.q.shape[0], median_loop_offset(pairs[:, 1],
+                                                    pairs[:, 0]))
             t0 = time.perf_counter()
             res, rung = lm.lm_solve_adaptive(
-                prob, loop_impl=args.loop_impl, tile_k=int(tile_k), **kw)
+                prob, loop_impl=args.loop_impl, tile_k=int(tile_k),
+                coarse_group=grp, **kw)
             wall = 1e3 * (time.perf_counter() - t0)
             row.update({
                 "nodes": n, "loops": e,

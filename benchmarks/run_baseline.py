@@ -94,22 +94,32 @@ def measure_both_modes(problem, max_iterations=10, name="", tile_k=None):
     (host-computed static per-tile capacity, gn.tile_k_for) enables the
     tiled loop matvec — the bench.py headline formulation."""
     from solve_keyframe_pose_graph_tpu.ops import lm
+    from solve_keyframe_pose_graph_tpu.ops.coarse import (
+        auto_coarse_group, median_loop_offset)
 
     tiled = ({} if tile_k is None
              else dict(loop_impl="tiledrows6", tile_k=int(tile_k)))
+    # the product's hands-free structure-aware aggregate (what the engine
+    # computes from host edge arrays each trigger)
+    grp = auto_coarse_group(
+        problem.q.shape[0],
+        median_loop_offset(np.asarray(problem.loop_b),
+                           np.asarray(problem.loop_a),
+                           np.asarray(problem.loop_mask)))
+    par_kw = dict(PARITY_KW, coarse_group=grp)
     row = measure_tpu_solve(problem, max_iterations, **tiled)
-    par = measure_tpu_solve(problem, max_iterations, **PARITY_KW, **tiled)
+    par = measure_tpu_solve(problem, max_iterations, **par_kw, **tiled)
     row.update({"tpu_parity_ms": par["tpu_ms"],
                 "tpu_parity_chi2": par["tpu_chi2"],
                 "parity_cg_iterations": par["cg_iterations"],
-                "parity_config": dict(PARITY_KW)})
+                "parity_config": dict(par_kw)})
     # the PRODUCTION outcome: adaptive precision at the unified config. On
     # healthy graphs this is the parity row (escalation never fires); on
     # fp32-conditioning-limited graphs it reports the escalated fp64 result
     # and its (host-wall) cost.
     t0 = time.perf_counter()
     res_a, rung = lm.lm_solve_adaptive(
-        problem, max_iterations=max_iterations, **PARITY_KW, **tiled)
+        problem, max_iterations=max_iterations, **par_kw, **tiled)
     if rung:
         row.update({
             "adaptive_chi2": float(res_a.final_cost),

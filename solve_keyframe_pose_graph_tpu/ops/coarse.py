@@ -53,26 +53,55 @@ from solve_keyframe_pose_graph_tpu.solver.problem import Problem
 _T36 = tuple(6 * (k % 6) + k // 6 for k in range(36))
 
 
-def auto_coarse_group(n_cap: int) -> int:
-    """Problem-size-scaled aggregate size for the two-level preconditioners
-    (the product's hands-free pick — the reference needs zero per-dataset
-    tuning, PoseGraphSLAM.cpp:1270-1272, so coarse_group=None resolves here
-    instead of being a benchmark-side knob).
+def auto_coarse_group(n_cap: int,
+                      median_loop_offset: float | None = None) -> int:
+    """Hands-free aggregate size for the two-level preconditioners (the
+    reference needs zero per-dataset tuning, PoseGraphSLAM.cpp:1270-1272,
+    so coarse_group=None resolves here instead of being a benchmark knob).
 
-    The trade: smaller groups enrich the coarse space (fewer CG iterations)
-    but the dense coarse factorize/apply scales as (6*Nc/group)^3 / ^2.
-    Measured crossovers (benchmarks/results.json, BASELINE.md):
-      * group 64 at n_cap <= 8192 (bench scale): rejection-free at default
-        forcing, the certified parity configuration;
-      * group 64 dense coarse at n_cap 32768 outgrows its payback (round-2
-        "coarse costs more than it saves" regression, 1097 ms/solve);
-        group 128 there is 35% faster than band-only (401.8 ms).
-    The rule keeps the coarse dimension 6*ceil(n_cap/group) at or below
-    ~1536 — the largest dense coarse solve that measured profitable."""
+    Two measured rules compose (benchmarks/{results,sphere_quality}.json,
+    BASELINE.md):
+
+    1. STRUCTURE: ring-revisit graphs (sphere/torus class) place their
+       loop endpoints a near-constant |b-a| apart; when that offset is
+       under ~2 aggregates the loop blocks land on the same/adjacent
+       coarse variables and the ring coupling ALIASES out of the coarse
+       solve — the round-3 "+3.2% sphere edge" (sphere offset ~50 vs
+       group 64: +3.17%; group 32 unchanged +3.18%; group 16 — offset ~3
+       segments — +1.45% at identical forcing and CG count). The rule
+       halves the group until 2*group <= median offset (floor 8).
+       Loop-dense diameter-offset graphs (the 5k/10k bench: every offset
+       2500) keep group 64 — the certified parity configuration.
+    2. SIZE: the dense coarse factorize/apply scales as (6*Nc/group)^3/^2;
+       group-64 at n_cap 32768 outgrew its payback (round-2 regression,
+       1097 ms/solve) while 128 is 35% faster than band-only. The clamp
+       keeps the coarse dimension 6*ceil(n_cap/group) <= 1536 — the
+       largest dense coarse solve that measured profitable.
+
+    median_loop_offset comes from host edge arrays (coarse.
+    median_loop_offset, like gn.tile_k_for); callers without host data
+    (direct lm_solve users) get the size-only rule."""
     group = 64
+    if median_loop_offset is not None and median_loop_offset > 0:
+        while group > 8 and 2 * group > median_loop_offset:
+            group //= 2
     while n_cap // group > 256:          # coarse dim 6*256 = 1536 ceiling
         group *= 2
     return group
+
+
+def median_loop_offset(loop_b, loop_a, loop_mask=None) -> float | None:
+    """Host-side median |b - a| over VALID loop edges (None when there are
+    none) — the structure statistic feeding auto_coarse_group."""
+    import numpy as np
+    b = np.asarray(loop_b)
+    a = np.asarray(loop_a)
+    if loop_mask is not None:
+        m = np.asarray(loop_mask) > 0.5
+        b, a = b[m], a[m]
+    if b.size == 0:
+        return None
+    return float(np.median(np.abs(b - a)))
 
 
 def build_coarse_inverse(red: "gn_ops.ReducedSystemT", problem: Problem,

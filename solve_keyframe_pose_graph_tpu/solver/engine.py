@@ -607,6 +607,14 @@ class SolverEngine:
         kw = lm_ops.cfg_lm_kwargs(
             cfg.solver, residual_mode=cfg.residual.mode,
             use_switch=cfg.residual.use_switch_constraints, tile_k=tile_k)
+        if kw.get("coarse_group") is None:
+            # hands-free structure-aware aggregate size from HOST edge
+            # arrays (ring-revisit offsets alias out of too-coarse
+            # aggregates — coarse.auto_coarse_group)
+            from solve_keyframe_pose_graph_tpu.ops.coarse import (
+                auto_coarse_group, median_loop_offset)
+            kw["coarse_group"] = auto_coarse_group(
+                n_cap, median_loop_offset(eb, ea, loop_valid))
         res = lm_ops.lm_solve(problem, **kw)
         # stash for the deferred escalation check in _finish_solve (the
         # async path must not block on a scalar fetch here)
@@ -676,7 +684,15 @@ class SolverEngine:
         given sizes. Streaming runs otherwise pay a 1-3 s compile stall the
         first time a bucket doubles (measured p90 of trigger wall); a
         production deployment calls this once at startup. Returns the number
-        of bucket programs compiled."""
+        of bucket programs compiled.
+
+        Note on the structure-aware coarse_group: warmup's dummy graph has
+        no knowledge of the live stream's loop-offset structure, so it
+        compiles the SIZE-rule group (the match for diameter-offset
+        streams, which every benchmark stream is). A ring-structured
+        stream's first trigger may still compile its structure-rule
+        program once; the persistent compile cache (utils/cache) absorbs
+        that across processes."""
         from solve_keyframe_pose_graph_tpu.graph import synthetic
         from solve_keyframe_pose_graph_tpu.ops.lm import solve_problem
         from solve_keyframe_pose_graph_tpu.solver.problem import (
