@@ -296,6 +296,10 @@ def bench_streaming(results, async_dispatch: bool = False,
             if inject:
                 eng.config = saved_cfg
     eng.drain()
+    t_settle = time.perf_counter()
+    eng.trigger()        # settle edges that accumulated while escalating
+    settle_wall_ms = round(1e3 * (time.perf_counter() - t_settle), 1)
+    eng.drain()
     key = (f"streaming_{n_nodes // 1000}k_{n_loops}"
            + ("_warm" if warmup else "")
            + ("_paced" if pace_ms else "")
@@ -318,6 +322,8 @@ def bench_streaming(results, async_dispatch: bool = False,
         "trigger_host_ms_p90": round(float(np.percentile(walls, 90)), 1),
         "steady_state_ms_median": round(
             float(np.median(walls[len(walls) // 2:])), 1),
+        "walls_ms": [round(w, 1) for w in walls],
+        "settle_wall_ms": settle_wall_ms,
         "phase_ms_mean": phase_ms,
         "incremental_builds": (
             None if eng._inc_builder is None else
@@ -530,7 +536,7 @@ def main():
             # trigger p90 must stay near median while the escalated chi2
             # lands through the write-back thread
             bench_streaming(results, warmup=True, pace_ms=150.0,
-                            inject_distress_at=20)
+                            inject_distress_at=10)
         if not only or "capacity" in only:
             bench_capacity(results, args.cpu)
         if only and "warmup_cache" in only:

@@ -220,8 +220,9 @@ def cmd_replay(args):
         if n_ev % trigger_every == 0 and eng.trigger():
             n_solves += 1
             cmp_.assemble()
-    eng.trigger()
-    eng.drain()          # barrier for async_dispatch mode
+    eng.drain()          # barrier: async solve + background escalation
+    eng.trigger()        # settle edges that accumulated while busy
+    eng.drain()
     wall = time.perf_counter() - t_start
     print(f"replayed {len(events)} events, {n_solves} solves, "
           f"{wall:.2f} s wall")

@@ -639,6 +639,23 @@ def lm_solve(
     )
 
 
+# In-process AOT-executable caches. The escalation paths compile via
+# .lower().compile() so the device lock is never held through a compile —
+# but unlike jax.jit, AOT results are not cached by JAX, so repeated
+# escalations would re-lower/re-compile (the persistent cache makes that
+# seconds, not minutes, but seconds per escalation is still waste). Keyed
+# by (solver kwargs, problem shape signature, x64 mode).
+_AOT_CACHE: dict = {}
+
+
+def _shape_key(problem: Problem):
+    import jax as _jax
+
+    return (problem.q.shape[0], problem.loop_a.shape[0],
+            problem.prior_idx.shape[0], problem.odo_q.shape[0],
+            str(problem.dtype), bool(_jax.config.read("jax_enable_x64")))
+
+
 @lru_cache(maxsize=64)
 def _chunk_programs(kw_items: tuple):
     """Jitted (init, chunk) programs for lm_solve_chunked, cached per
@@ -689,15 +706,29 @@ def lm_solve_chunked(problem: Problem, *, chunk_iters: int = 1,
     lock = (dispatch_lock if dispatch_lock is not None
             else contextlib.nullcontext())
     init_fn, chunk_fn = _chunk_programs(tuple(sorted(kw.items())))
+    # AOT-compile BOTH programs before touching the lock: compilation does
+    # not occupy the chip, and cold x64 chunk compiles run minutes — a
+    # streaming engine's trigger solves must not queue behind them
+    # (measured: a cold background escalation holding the device lock
+    # through its compiles pushed trigger p90 to 253 s).
+    ckey = ("chunk", tuple(sorted(kw.items())), _shape_key(problem))
+    cached = _AOT_CACHE.get(ckey)
+    init_c = (cached[0] if cached
+              else init_fn.lower(problem).compile())
     with lock:
-        state = init_fn(problem)
+        state = init_c(problem)
         cost0 = state.cost
         k = 0
         done = bool(state.done)
+    k_end0 = jnp.int32(min(k + chunk_iters, max_iterations))
+    chunk_c = (cached[1] if cached
+               else chunk_fn.lower(problem, state, k_end0, cost0).compile())
+    if cached is None:
+        _AOT_CACHE[ckey] = (init_c, chunk_c)
     while k < max_iterations and not done:
         k_end = jnp.int32(min(k + chunk_iters, max_iterations))
         with lock:
-            state = chunk_fn(problem, state, k_end, cost0)
+            state = chunk_c(problem, state, k_end, cost0)
             k = int(state.k)   # host fetch: the inter-chunk barrier
             done = bool(state.done)
     return LMResult(
@@ -794,11 +825,24 @@ def mixed_resolve(problem: Problem, lm_kw: dict, *,
     kw["precision"] = "mixed"
     lock = (dispatch_lock if dispatch_lock is not None
             else contextlib.nullcontext())
-    with _jax.enable_x64(), lock:
-        res = lm_solve(problem, **kw)
-        # host fetch (not block_until_ready) — the reliable barrier over a
-        # tunneled device, and it must complete under the dispatch lock
-        float(res.final_cost)
+    with _jax.enable_x64():
+        # AOT-compile OUTSIDE the lock (compilation never occupies the
+        # chip; see lm_solve_chunked), execute inside it. The compiled
+        # callable still takes lm_solve's NON-static scalar kwargs.
+        dyn = {k: kw[k] for k in ("cg_tolerance", "initial_radius",
+                                  "function_tolerance",
+                                  "parameter_tolerance", "cg_warm_mult")
+               if k in kw}
+        mkey = ("mixed", tuple(sorted(kw.items())), _shape_key(problem))
+        compiled = _AOT_CACHE.get(mkey)
+        if compiled is None:
+            compiled = lm_solve.lower(problem, **kw).compile()
+            _AOT_CACHE[mkey] = compiled
+        with lock:
+            res = compiled(problem, **dyn)
+            # host fetch (not block_until_ready) — the reliable barrier
+            # over a tunneled device, completed under the dispatch lock
+            float(res.final_cost)
     return res
 
 

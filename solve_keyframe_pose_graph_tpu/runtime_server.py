@@ -249,8 +249,9 @@ class PoseGraphServer:
                 self._stop.set()
             srv.shutdown()
         solver.join(timeout=30)
-        self.engine.trigger()     # pick up any last-moment edges
         self.engine.drain()       # barrier: async solve + bg escalation
+        self.engine.trigger()     # settle edges that accumulated while busy
+        self.engine.drain()
         if self.save_dir:
             path = self.composer.save_state_to_disk(self.save_dir)
             self.logger.info(f"state -> {path}")

@@ -109,6 +109,9 @@ class SolverEngine:
         # state/delta transfer — the reference's persistent ceres::Problem
         # analog (PoseGraphSLAM.cpp:1338-1640), solver/incremental.py
         self._inc_builder = None
+        # sticky structure-aware coarse_group per capacity bucket:
+        # n_cap -> (group, edge_len at decision). See _solve_device.
+        self._coarse_group_by_cap: Dict[int, Tuple[int, int]] = {}
         # (problem, lm_kwargs) of the latest dispatch, for the deferred
         # adaptive-fp64 escalation check in _finish_solve
         self._last_dispatch = None
@@ -182,6 +185,18 @@ class SolverEngine:
             self.status = 0
             return False
         if node_len == 0:
+            self.status = 0
+            return False
+        if self._bg_thread is not None and self._bg_thread.is_alive():
+            # an escalated re-solve of this graph is in flight: solving the
+            # same (distressed) instance again at fp32 meanwhile would both
+            # queue behind its device chunks AND produce junk guesses. The
+            # reference's solver loop has the same semantic — new edges
+            # simply accumulate while a solve is busy (0.5 Hz poll,
+            # PoseGraphSLAM.cpp:1306-1312) and the Composer extrapolates
+            # past the watermark (Composer.cpp:113-165). The first poll
+            # after the escalation lands solves everything from the
+            # escalated guesses.
             self.status = 0
             return False
 
@@ -610,11 +625,24 @@ class SolverEngine:
         if kw.get("coarse_group") is None:
             # hands-free structure-aware aggregate size from HOST edge
             # arrays (ring-revisit offsets alias out of too-coarse
-            # aggregates — coarse.auto_coarse_group)
+            # aggregates — coarse.auto_coarse_group). STICKY per capacity
+            # bucket: coarse_group is a static program argument, so letting
+            # the evolving median offset flip the choice mid-stream causes
+            # spurious trigger-time compiles (measured: 20-90 s stalls over
+            # the tunnel). Decide once per bucket; re-decide once when the
+            # edge sample first becomes meaningful (>= 32 edges).
             from solve_keyframe_pose_graph_tpu.ops.coarse import (
                 auto_coarse_group, median_loop_offset)
-            kw["coarse_group"] = auto_coarse_group(
-                n_cap, median_loop_offset(eb, ea, loop_valid))
+            cached = self._coarse_group_by_cap.get(n_cap)
+            if cached is None or (cached[1] < 32 <= edge_len):
+                # under 32 edges the offset sample is noise: use the size
+                # rule (= the program warmup() precompiled, so stream
+                # starts never stall on a compile)
+                med = (median_loop_offset(eb, ea, loop_valid)
+                       if edge_len >= 32 else None)
+                grp = auto_coarse_group(n_cap, med)
+                self._coarse_group_by_cap[n_cap] = (grp, edge_len)
+            kw["coarse_group"] = self._coarse_group_by_cap[n_cap][0]
         res = lm_ops.lm_solve(problem, **kw)
         # stash for the deferred escalation check in _finish_solve (the
         # async path must not block on a scalar fetch here)
@@ -694,7 +722,6 @@ class SolverEngine:
         program once; the persistent compile cache (utils/cache) absorbs
         that across processes."""
         from solve_keyframe_pose_graph_tpu.graph import synthetic
-        from solve_keyframe_pose_graph_tpu.ops.lm import solve_problem
         from solve_keyframe_pose_graph_tpu.solver.problem import (
             build_problem_np,
         )
@@ -730,13 +757,29 @@ class SolverEngine:
                 # compile-priming only: the dummy solve's OUTCOME is
                 # irrelevant, so the adaptive fp64 escalation must not
                 # fire here (it would compile the ~50x-cost emulated-fp64
-                # programs the stream never runs)
+                # programs the stream never runs). coarse_group is pinned
+                # to the SAME int the trigger path passes (the sticky
+                # size-rule value): jit keys on the static value, so a
+                # warmup compiled with coarse_group=None would NOT warm
+                # the trigger's coarse_group=<int> program — measured as
+                # a 326 s first-trigger compile stall in a fresh process.
+                from solve_keyframe_pose_graph_tpu.ops import lm as lm_ops
+                from solve_keyframe_pose_graph_tpu.ops.coarse import (
+                    auto_coarse_group,
+                )
                 warm_cfg = dataclasses.replace(cfg.solver,
                                                adaptive_fp64=False)
-                res = solve_problem(
-                    problem, warm_cfg, residual_mode=cfg.residual.mode,
+                kw = lm_ops.cfg_lm_kwargs(
+                    warm_cfg, residual_mode=cfg.residual.mode,
                     use_switch=cfg.residual.use_switch_constraints)
-                jax.block_until_ready(res.final_cost)
+                if kw.get("coarse_group") is None:
+                    kw["coarse_group"] = auto_coarse_group(n_cap)
+                res = lm_ops.lm_solve(problem, **kw)
+                # host fetch, NOT block_until_ready: over the tunneled
+                # device block_until_ready can return before remote
+                # execution completes, which lets warmup work queue up
+                # and stall the FIRST real trigger instead
+                float(res.final_cost)
                 count += 1
             if n_cap >= _bucket(max_nodes, cap.initial_nodes):
                 break
