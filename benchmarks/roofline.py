@@ -1,0 +1,193 @@
+"""Single-chip roofline for the CG-iteration pieces at bench scale.
+
+VERDICT round-3 item 8: quantify how far the ~94 ms parity solve sits from
+the memory-bound floor of the chip itself (the reference publishes no
+numbers — SURVEY §6 — so this is the TPU-first bar, not a parity bar).
+
+Methodology (CLAUDE.md measurement rules):
+  * time: each piece amortized inside ONE jitted fori_loop with a data
+    dependency and scalar-only output (REPS applications), host-fetch
+    barrier, tunnel RTT subtracted — identical to profile_cg_pieces.py.
+  * bytes: XLA's own cost model for the SINGLE-application program,
+    jit(fn).lower(...).compile().cost_analysis()["bytes accessed"].
+    These are the compiler's post-fusion HBM traffic estimates (operand +
+    output bytes of fused computations), the denominator a roofline wants.
+  * peak: TPU v5e HBM bandwidth 819 GB/s (public spec). MXU peak
+    (197 TFLOP/s bf16 / ~98 fp32) is quoted for the flops columns.
+
+Output: one JSON blob (benchmarks/roofline.json) + a printed table of
+  piece | ms/op | MB accessed | GB/s | % of HBM peak | GFLOP/s
+for: band matvec, tiledrows6 loop matvec, full reduced matvec, BCR
+precond apply, coarse apply (group 64), one full CG iteration (parity
+preconditioner), and the per-LM-iteration band build + factorize.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench  # noqa: E402
+
+from solve_keyframe_pose_graph_tpu.ops import band as band_ops  # noqa: E402
+from solve_keyframe_pose_graph_tpu.ops import band_em  # noqa: E402
+from solve_keyframe_pose_graph_tpu.ops import coarse as coarse_ops  # noqa: E402
+from solve_keyframe_pose_graph_tpu.ops import gn as gn_ops  # noqa: E402
+
+REPS = 32
+HBM_PEAK_GBS = 819.0          # TPU v5e, public spec
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(ROOT, "benchmarks", "roofline.json")
+
+
+def _rtt():
+    triv = jax.jit(lambda e: e + 1.0)
+    float(triv(jnp.float32(0.0)))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(triv(jnp.float32(0.0)))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(ts))
+
+
+def _timed_loop(phase, rtt, outer=3):
+    """Amortized ms/op of `phase` (x -> scalar) with a data dependency."""
+    def run(eps):
+        def body(i, acc):
+            return acc + phase(acc * 1e-30)
+        return jax.lax.fori_loop(0, REPS, body, eps)
+
+    jitted = jax.jit(run)
+    float(jitted(jnp.float32(0.0)))
+    ts = []
+    for _ in range(outer):
+        t0 = time.perf_counter()
+        float(jitted(jnp.float32(0.0)))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return (float(np.median(ts)) - rtt) / REPS
+
+
+def _cost(fn, *args):
+    """XLA bytes/flops of the single-application program."""
+    c = jax.jit(fn).lower(*args).compile().cost_analysis()
+    if isinstance(c, (list, tuple)):
+        c = c[0]
+    return (float(c.get("bytes accessed", 0.0)),
+            float(c.get("flops", 0.0)))
+
+
+def main():
+    prob, _ = bench.build()
+    q, t, s = prob.q, prob.t, prob.switch
+    rtt = _rtt()
+    print(f"rtt floor {rtt:.2f} ms; REPS {REPS}; HBM peak {HBM_PEAK_GBS} GB/s")
+
+    blocks = jax.jit(lambda: gn_ops.assemble_t(prob, q, t, s))()
+    diag_n = blocks.D[jnp.arange(0, 36, 7)]
+    scale_n = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag_n, 0)))
+    scale_s = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(blocks.ds, 0)))
+    lm_n = jnp.clip(diag_n * scale_n**2, 1e-6, 1e32) / 1e4
+    lm_s = jnp.clip(blocks.ds * scale_s**2, 1e-6, 1e32) / 1e4
+    red = jax.jit(lambda: gn_ops.schur_reduce_t(
+        blocks, prob, scale_n, scale_s, lm_n, lm_s))()
+
+    # production parity operators: emb band build -> AoS BCR factorize,
+    # tiledrows6 loop matvec, coarse:64
+    ab = np.asarray(prob.loop_b)
+    aa = np.asarray(prob.loop_a)
+    tile_k = int(gn_ops.tile_k_for(ab, aa, prob.q.shape[0]))
+    inc = gn_ops.build_tiled_incidence(prob, tile_k)
+    blkrows = jax.jit(lambda: gn_ops.tiled_blocks_rows(red, inc))()
+    A_band, C_band = jax.jit(lambda: band_em.build_band_system_emb(
+        red.Dh, red.Bh, group=prob.fanout))()
+    fac = jax.jit(lambda: band_ops.bcr_factorize(
+        A_band, C_band, group=prob.fanout, max_levels=2))()
+    Hc = jax.jit(lambda: coarse_ops.build_coarse_inverse(red, prob, 64))()
+    r0 = red.rhs_n
+
+    def vsum(x):
+        return jnp.sum(x) * 1e-12
+
+    pieces = {}
+
+    def piece(name, phase, cost_fn, *cost_args):
+        ms = _timed_loop(phase, rtt)
+        by, fl = _cost(cost_fn, *cost_args)
+        gbs = by / (ms * 1e-3) / 1e9 if ms > 0 else float("nan")
+        pieces[name] = {
+            "ms_per_op": round(ms, 4),
+            "mb_accessed": round(by / 1e6, 3),
+            "gb_per_s": round(gbs, 1),
+            "pct_hbm_peak": round(100.0 * gbs / HBM_PEAK_GBS, 1),
+            "gflop_per_s": round(fl / (ms * 1e-3) / 1e9, 1),
+        }
+        p = pieces[name]
+        print(f"{name:28s} {p['ms_per_op']:8.4f} ms  "
+              f"{p['mb_accessed']:8.2f} MB  {p['gb_per_s']:7.1f} GB/s  "
+              f"{p['pct_hbm_peak']:5.1f}% peak  {p['gflop_per_s']:8.1f} GF/s")
+
+    piece("band matvec",
+          lambda d: vsum(gn_ops.band_matvec_t(red, prob, r0 + d)),
+          lambda p: gn_ops.band_matvec_t(red, prob, p), r0)
+    piece("loop matvec (tiledrows6)",
+          lambda d: vsum(gn_ops.loop_matvec_tiled_rows6(inc, blkrows,
+                                                        r0 + d)),
+          lambda p: gn_ops.loop_matvec_tiled_rows6(inc, blkrows, p), r0)
+    piece("bcr precond apply (l2)",
+          lambda d: vsum(band_ops.band_precond_apply(fac, (r0 + d).T).T),
+          lambda p: band_ops.band_precond_apply(fac, p.T).T, r0)
+    piece("coarse apply (c=64)",
+          lambda d: vsum(coarse_ops.coarse_apply(
+              Hc, prob.free_mask, r0 + d, 64)),
+          lambda p: coarse_ops.coarse_apply(Hc, prob.free_mask, p, 64), r0)
+
+    def full_matvec(p):
+        return (gn_ops.band_matvec_t(red, prob, p)
+                + gn_ops.loop_matvec_tiled_rows6(inc, blkrows, p))
+
+    piece("full reduced matvec",
+          lambda d: vsum(full_matvec(r0 + d)), full_matvec, r0)
+
+    def cg_iter(p):
+        Ap = full_matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = 1e-12 / (pAp + 1.0)
+        x = alpha * p
+        r = p - alpha * Ap
+        z = (band_ops.band_precond_apply(fac, r.T).T
+             + coarse_ops.coarse_apply(Hc, prob.free_mask, r, 64))
+        return x + z * jnp.vdot(r, z) * 1e-12
+
+    piece("full CG iteration (parity)",
+          lambda d: vsum(cg_iter(r0 + d)), cg_iter, r0)
+
+    def band_build_fac(D):
+        A_b, C_b = band_em.build_band_system_emb(D, red.Bh,
+                                                 group=prob.fanout)
+        return band_ops.bcr_factorize(A_b, C_b, group=prob.fanout,
+                                      max_levels=2)
+
+    piece("band build+factorize (/LM it)",
+          lambda d: sum(jnp.sum(lf) * 1e-25 for lf in
+                        jax.tree_util.tree_leaves(band_build_fac(red.Dh + d))),
+          band_build_fac, red.Dh)
+
+    blob = {"hbm_peak_gb_s": HBM_PEAK_GBS, "reps": REPS,
+            "rtt_ms": round(rtt, 2), "n_cap": int(prob.q.shape[0]),
+            "e_cap": int(prob.loop_a.shape[0]), "tile_k": tile_k,
+            "pieces": pieces}
+    with open(OUT, "w") as f:
+        json.dump(blob, f, indent=2)
+    print("->", OUT)
+
+
+if __name__ == "__main__":
+    main()

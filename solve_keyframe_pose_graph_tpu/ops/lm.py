@@ -644,8 +644,68 @@ def lm_solve(
 # but unlike jax.jit, AOT results are not cached by JAX, so repeated
 # escalations would re-lower/re-compile (the persistent cache makes that
 # seconds, not minutes, but seconds per escalation is still waste). Keyed
-# by (solver kwargs, problem shape signature, x64 mode).
+# by (solver kwargs, problem shape signature, x64 mode). Optionally backed
+# by the ON-DISK executable cache (utils/cache.aot_load/aot_save,
+# opt-in KPG_AOT_DISK=1 — measured a LOSS over the tunneled TPU, see
+# utils/cache.py); the production warm-startup answer is
+# engine.warmup(background=True) instead (the reference's
+# zero-per-process-compile analog, keyframe_pose_graph_slam_node.cpp:233).
 _AOT_CACHE: dict = {}
+
+
+def _aot_get(key):
+    compiled = _AOT_CACHE.get(key)
+    if compiled is not None:
+        return compiled
+    from solve_keyframe_pose_graph_tpu.utils import cache as _cache
+
+    compiled = _cache.aot_load(key)
+    if compiled is not None:
+        _AOT_CACHE[key] = compiled
+    return compiled
+
+
+def _aot_put(key, compiled):
+    _AOT_CACHE[key] = compiled
+    from solve_keyframe_pose_graph_tpu.utils import cache as _cache
+
+    _cache.aot_save(key, compiled)
+
+
+# lm_solve kwargs that are NOT in its static_argnames (traced scalars): the
+# AOT-compiled executable is called with exactly these.
+_LM_DYNAMIC = ("cg_tolerance", "initial_radius", "function_tolerance",
+               "parameter_tolerance", "cg_warm_mult")
+
+
+def lm_solve_aot_prepare(problem: Problem, **kw):
+    """Get-or-compile the lm_solve executable for (kw, problem shapes)
+    WITHOUT dispatching it — pure host work, safe off-thread while the
+    device lock is held by a live trigger. Background warmup compiles
+    every bucket program through this, then primes each with one dummy
+    dispatch under the lock (engine.warmup)."""
+    key = ("solve", tuple(sorted(kw.items())), _shape_key(problem))
+    compiled = _aot_get(key)
+    if compiled is None:
+        compiled = lm_solve.lower(problem, **kw).compile()
+        _aot_put(key, compiled)
+    return compiled
+
+
+def lm_solve_aot(problem: Problem, **kw) -> LMResult:
+    """lm_solve through the AOT executable cache.
+
+    Semantically identical to lm_solve(problem, **kw) (same HLO, and the
+    XLA persistent cache makes the compile itself reproducible); the
+    difference is dispatch machinery: on an in-process hit this is a
+    direct compiled-executable call shared with the warmup/escalation
+    paths (one executable per bucket program process-wide), on a full
+    miss it lowers+compiles once. The engine's trigger and warmup paths
+    route through this so a warmed executable is exactly the one the
+    trigger later dispatches."""
+    compiled = lm_solve_aot_prepare(problem, **kw)
+    dyn = {k: kw[k] for k in _LM_DYNAMIC if k in kw}
+    return compiled(problem, **dyn)
 
 
 def _shape_key(problem: Problem):
@@ -711,20 +771,21 @@ def lm_solve_chunked(problem: Problem, *, chunk_iters: int = 1,
     # streaming engine's trigger solves must not queue behind them
     # (measured: a cold background escalation holding the device lock
     # through its compiles pushed trigger p90 to 253 s).
-    ckey = ("chunk", tuple(sorted(kw.items())), _shape_key(problem))
-    cached = _AOT_CACHE.get(ckey)
-    init_c = (cached[0] if cached
-              else init_fn.lower(problem).compile())
+    base = (tuple(sorted(kw.items())), _shape_key(problem))
+    init_c = _aot_get(("chunk-init",) + base)
+    if init_c is None:
+        init_c = init_fn.lower(problem).compile()
+        _aot_put(("chunk-init",) + base, init_c)
+    chunk_c = _aot_get(("chunk-step",) + base)
     with lock:
         state = init_c(problem)
         cost0 = state.cost
         k = 0
         done = bool(state.done)
     k_end0 = jnp.int32(min(k + chunk_iters, max_iterations))
-    chunk_c = (cached[1] if cached
-               else chunk_fn.lower(problem, state, k_end0, cost0).compile())
-    if cached is None:
-        _AOT_CACHE[ckey] = (init_c, chunk_c)
+    if chunk_c is None:
+        chunk_c = chunk_fn.lower(problem, state, k_end0, cost0).compile()
+        _aot_put(("chunk-step",) + base, chunk_c)
     while k < max_iterations and not done:
         k_end = jnp.int32(min(k + chunk_iters, max_iterations))
         with lock:
@@ -834,10 +895,10 @@ def mixed_resolve(problem: Problem, lm_kw: dict, *,
                                   "parameter_tolerance", "cg_warm_mult")
                if k in kw}
         mkey = ("mixed", tuple(sorted(kw.items())), _shape_key(problem))
-        compiled = _AOT_CACHE.get(mkey)
+        compiled = _aot_get(mkey)
         if compiled is None:
             compiled = lm_solve.lower(problem, **kw).compile()
-            _AOT_CACHE[mkey] = compiled
+            _aot_put(mkey, compiled)
         with lock:
             res = compiled(problem, **dyn)
             # host fetch (not block_until_ready) — the reliable barrier

@@ -643,7 +643,10 @@ class SolverEngine:
                 grp = auto_coarse_group(n_cap, med)
                 self._coarse_group_by_cap[n_cap] = (grp, edge_len)
             kw["coarse_group"] = self._coarse_group_by_cap[n_cap][0]
-        res = lm_ops.lm_solve(problem, **kw)
+        # AOT dispatch: in-process executable on the hot path; on a fresh
+        # process, a disk-cached executable loads in ~1-3 s instead of the
+        # ~14 s trace+lower+compile (utils/cache AOT notes)
+        res = lm_ops.lm_solve_aot(problem, **kw)
         # stash for the deferred escalation check in _finish_solve (the
         # async path must not block on a scalar fetch here)
         self._last_dispatch = (problem, kw)
@@ -707,12 +710,29 @@ class SolverEngine:
         self.solved_until = n - 1
         self.prev_node_len = n
 
-    def warmup(self, max_nodes: int, max_edges: int) -> int:
+    def warmup(self, max_nodes: int, max_edges: int,
+               background: bool = False) -> int:
         """Pre-compile the device solve for every capacity bucket up to the
         given sizes. Streaming runs otherwise pay a 1-3 s compile stall the
         first time a bucket doubles (measured p90 of trigger wall); a
         production deployment calls this once at startup. Returns the number
-        of bucket programs compiled.
+        of bucket programs compiled (scheduled, when background=True).
+
+        background=True is the production startup mode (the reference pays
+        ZERO per-process compile — AOT C++,
+        keyframe_pose_graph_slam_node.cpp:233 — so startup latency is the
+        parity axis here): only the FIRST bucket pair — the one a fresh
+        stream solves in — is compiled synchronously; the remaining
+        programs compile on a daemon thread (pure host work outside the
+        device lock, one priming dispatch each under it), in increasing
+        bucket order so the warm frontier stays ahead of the stream's
+        capacity growth. Live triggers keep device priority: they wait at
+        most one priming dispatch (ms once compiled), never a compile.
+        If the stream outruns the frontier, the trigger path compiles its
+        own bucket as before — correctness never depends on warmup.
+        `warmup_join()` blocks until the background pass finishes.
+        (A disk-cached-executable alternative measured SLOWER over the
+        tunneled TPU — see utils/cache.py; this overlap is the answer.)
 
         Note on the structure-aware coarse_group: warmup's dummy graph has
         no knowledge of the live stream's loop-offset structure, so it
@@ -721,70 +741,98 @@ class SolverEngine:
         stream's first trigger may still compile its structure-rule
         program once; the persistent compile cache (utils/cache) absorbs
         that across processes."""
+        cfg = self.config
+        cap = cfg.capacity
+        pairs = []
+        n_cap = cap.initial_nodes
+        while True:
+            e_cap = cap.initial_edges
+            while e_cap <= max(_bucket(max_edges, cap.initial_edges),
+                               cap.initial_edges):
+                pairs.append((n_cap, e_cap))
+                e_cap *= 2
+            if n_cap >= _bucket(max_nodes, cap.initial_nodes):
+                break
+            n_cap *= 2
+        if not background:
+            for n_cap, e_cap in pairs:
+                self._warm_one(n_cap, e_cap)
+            return len(pairs)
+        self._warm_one(*pairs[0])
+        self._warmup_done = threading.Event()
+
+        def _rest():
+            try:
+                for p in pairs[1:]:
+                    self._warm_one(*p)
+            finally:
+                self._warmup_done.set()
+
+        self._warmup_thread = threading.Thread(
+            target=_rest, daemon=True, name="kpg-warmup")
+        self._warmup_thread.start()
+        return len(pairs)
+
+    def warmup_join(self, timeout: Optional[float] = None) -> bool:
+        """Wait for a background warmup pass; True when fully warmed."""
+        ev = getattr(self, "_warmup_done", None)
+        if ev is None:
+            return True
+        return ev.wait(timeout)
+
+    def _warm_one(self, n_cap: int, e_cap: int) -> None:
+        """Compile + prime ONE bucket program (dummy graph, real shapes).
+
+        Compile happens OUTSIDE the device lock (host work — safe
+        concurrently with live trigger dispatches); the single priming
+        dispatch takes the lock. Its host fetch is deliberate — NOT
+        block_until_ready: over the tunneled device block_until_ready can
+        return before remote execution completes, which lets warmup work
+        queue up and stall the first real trigger instead."""
         from solve_keyframe_pose_graph_tpu.graph import synthetic
+        from solve_keyframe_pose_graph_tpu.ops import lm as lm_ops
+        from solve_keyframe_pose_graph_tpu.ops.coarse import (
+            auto_coarse_group,
+        )
         from solve_keyframe_pose_graph_tpu.solver.problem import (
             build_problem_np,
         )
 
         cfg = self.config
-        cap = cfg.capacity
         dtype = np.float64 if cfg.solver.dtype == "float64" else np.float32
-        count = 0
-        n_cap = cap.initial_nodes
-        while True:
-            e_caps = []
-            e_cap = cap.initial_edges
-            while e_cap <= max(_bucket(max_edges, cap.initial_edges),
-                               cap.initial_edges):
-                e_caps.append(e_cap)
-                e_cap *= 2
-            g = synthetic.circle_graph(
-                n_nodes=min(64, n_cap), n_loops=8, seed=0)
-            for e_cap in e_caps:
-                problem = build_problem_np(
-                    q=g.vio_q, t=g.vio_t, vio_q=g.vio_q, vio_t=g.vio_t,
-                    node_valid=np.ones(g.n_nodes, bool),
-                    loop_pairs=g.loop_pairs, loop_q=g.loop_q,
-                    loop_t=g.loop_t, loop_w=g.loop_w,
-                    loop_valid=np.ones(g.n_loops, bool),
-                    switch=np.full(g.n_loops, cfg.residual.switch_init),
-                    prior_idx=np.array([0]), prior_q=g.vio_q[:1],
-                    prior_t=g.vio_t[:1], prior_w=np.array([1.1]),
-                    n_cap=n_cap, e_cap=e_cap, p_cap=16,
-                    fanout=cfg.residual.odometry_fanout,
-                    dtype=dtype,
-                )
-                # compile-priming only: the dummy solve's OUTCOME is
-                # irrelevant, so the adaptive fp64 escalation must not
-                # fire here (it would compile the ~50x-cost emulated-fp64
-                # programs the stream never runs). coarse_group is pinned
-                # to the SAME int the trigger path passes (the sticky
-                # size-rule value): jit keys on the static value, so a
-                # warmup compiled with coarse_group=None would NOT warm
-                # the trigger's coarse_group=<int> program — measured as
-                # a 326 s first-trigger compile stall in a fresh process.
-                from solve_keyframe_pose_graph_tpu.ops import lm as lm_ops
-                from solve_keyframe_pose_graph_tpu.ops.coarse import (
-                    auto_coarse_group,
-                )
-                warm_cfg = dataclasses.replace(cfg.solver,
-                                               adaptive_fp64=False)
-                kw = lm_ops.cfg_lm_kwargs(
-                    warm_cfg, residual_mode=cfg.residual.mode,
-                    use_switch=cfg.residual.use_switch_constraints)
-                if kw.get("coarse_group") is None:
-                    kw["coarse_group"] = auto_coarse_group(n_cap)
-                res = lm_ops.lm_solve(problem, **kw)
-                # host fetch, NOT block_until_ready: over the tunneled
-                # device block_until_ready can return before remote
-                # execution completes, which lets warmup work queue up
-                # and stall the FIRST real trigger instead
-                float(res.final_cost)
-                count += 1
-            if n_cap >= _bucket(max_nodes, cap.initial_nodes):
-                break
-            n_cap *= 2
-        return count
+        g = synthetic.circle_graph(n_nodes=min(64, n_cap), n_loops=8, seed=0)
+        problem = build_problem_np(
+            q=g.vio_q, t=g.vio_t, vio_q=g.vio_q, vio_t=g.vio_t,
+            node_valid=np.ones(g.n_nodes, bool),
+            loop_pairs=g.loop_pairs, loop_q=g.loop_q,
+            loop_t=g.loop_t, loop_w=g.loop_w,
+            loop_valid=np.ones(g.n_loops, bool),
+            switch=np.full(g.n_loops, cfg.residual.switch_init),
+            prior_idx=np.array([0]), prior_q=g.vio_q[:1],
+            prior_t=g.vio_t[:1], prior_w=np.array([1.1]),
+            n_cap=n_cap, e_cap=e_cap, p_cap=16,
+            fanout=cfg.residual.odometry_fanout,
+            dtype=dtype,
+        )
+        # compile-priming only: the dummy solve's OUTCOME is irrelevant, so
+        # the adaptive fp64 escalation must not fire here (it would compile
+        # the ~50x-cost emulated-fp64 programs the stream never runs).
+        # coarse_group is pinned to the SAME int the trigger path passes
+        # (the sticky size-rule value): jit keys on the static value, so a
+        # warmup compiled with coarse_group=None would NOT warm the
+        # trigger's coarse_group=<int> program — measured as a 326 s
+        # first-trigger compile stall in a fresh process.
+        warm_cfg = dataclasses.replace(cfg.solver, adaptive_fp64=False)
+        kw = lm_ops.cfg_lm_kwargs(
+            warm_cfg, residual_mode=cfg.residual.mode,
+            use_switch=cfg.residual.use_switch_constraints)
+        if kw.get("coarse_group") is None:
+            kw["coarse_group"] = auto_coarse_group(n_cap)
+        compiled = lm_ops.lm_solve_aot_prepare(problem, **kw)
+        dyn = {k: kw[k] for k in lm_ops._LM_DYNAMIC if k in kw}
+        with self._device_lock:
+            res = compiled(problem, **dyn)
+            float(res.final_cost)
 
     def run(self, poll_hz: Optional[float] = None, stop_when=None) -> None:
         """Blocking trigger loop (the reference thread's ros::Rate loop)."""

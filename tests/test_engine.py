@@ -155,6 +155,36 @@ def test_engine_warmup_compiles_buckets():
     n = eng.warmup(cap.initial_nodes * 2, cap.initial_edges * 2)
     assert n == 4
 
+
+def test_engine_warmup_background_overlaps_serving():
+    """warmup(background=True) returns after ONE bucket program (the
+    production startup path, cli.py serve): the engine must be able to
+    ingest + trigger immediately while the remaining programs compile on
+    the daemon thread, and warmup_join() certifies full coverage."""
+    from solve_keyframe_pose_graph_tpu.graph import synthetic
+    from solve_keyframe_pose_graph_tpu.graph.store import GraphStore
+    from solve_keyframe_pose_graph_tpu.solver.engine import SolverEngine
+
+    store = GraphStore()
+    eng = SolverEngine(store)
+    cap = eng.config.capacity
+    n = eng.warmup(cap.initial_nodes * 2, cap.initial_edges * 2,
+                   background=True)
+    assert n == 4
+    # serve while the background thread is (possibly still) compiling
+    g = synthetic.circle_graph(n_nodes=48, n_loops=6, seed=3)
+    t0, dt = 1_000_000_000, 100_000_000
+    for i in range(g.n_nodes):
+        store.add_node(t0 + i * dt, g.vio_q[i], g.vio_t[i])
+    for k in range(g.n_loops):
+        a, b = map(int, g.loop_pairs[k])
+        store.add_loop_edge(t0 + a * dt, t0 + b * dt,
+                            g.loop_q[k], g.loop_t[k], float(g.loop_w[k]))
+    assert eng.trigger()
+    eng.drain()
+    assert eng.solve_stats[-1]["final_cost"] < 1.0
+    assert eng.warmup_join(timeout=600.0)
+
 # ---------------------------------------------------------------------------
 # literal per-node port of the 4-case initial-guess table
 # (PoseGraphSLAM.cpp:1645-1795), fuzzed against the vectorized
