@@ -708,12 +708,39 @@ def lm_solve_aot(problem: Problem, **kw) -> LMResult:
     return compiled(problem, **dyn)
 
 
+def _sharding_desc(x) -> tuple | None:
+    """Repr-stable descriptor of a Problem leaf's device placement.
+
+    None for host (numpy) leaves — they commit to the default device at
+    dispatch, which is what an executable lowered from numpy inputs
+    expects. For committed jax arrays the descriptor pins mesh shape, axis
+    names, partition spec and the device assignment, so an executable
+    compiled for single-device inputs is NEVER dispatched on a mesh-sharded
+    problem (or vice versa) — the round-4 regression where the engine's
+    production multi-chip path (config mesh.n_devices) reused a warmup's
+    single-device executable and died with a sharding mismatch
+    (tests/test_cli_g2o.py test_cli_config_driven_sharded_solve)."""
+    import jax as _jax
+
+    s = getattr(x, "sharding", None)
+    if s is None:
+        return None
+    if isinstance(s, _jax.sharding.NamedSharding):
+        return ("named", tuple(s.mesh.shape.items()), str(s.spec),
+                tuple(str(d) for d in s.mesh.devices.flat))
+    if isinstance(s, _jax.sharding.SingleDeviceSharding):
+        return ("single", str(next(iter(s.device_set))))
+    return ("other", repr(s))
+
+
 def _shape_key(problem: Problem):
     import jax as _jax
 
     return (problem.q.shape[0], problem.loop_a.shape[0],
             problem.prior_idx.shape[0], problem.odo_q.shape[0],
-            str(problem.dtype), bool(_jax.config.read("jax_enable_x64")))
+            str(problem.dtype), bool(_jax.config.read("jax_enable_x64")),
+            tuple(_sharding_desc(leaf)
+                  for leaf in jax.tree_util.tree_leaves(problem)))
 
 
 @lru_cache(maxsize=64)

@@ -63,6 +63,36 @@ def test_lm_solve_aot_matches_lm_solve():
     assert float(aot2.final_cost) == float(aot.final_cost)
 
 
+def test_aot_cache_keys_on_sharding():
+    """Round-4 regression (VERDICT round-4 item 1): _shape_key ignored input
+    sharding, so an executable compiled for single-device inputs (e.g. by
+    warmup) was dispatched on a mesh-sharded problem and died with a
+    sharding mismatch. Compile unsharded FIRST, then solve the SAME shapes
+    sharded in the same process — both must run and agree; then back to
+    unsharded to pin the reverse direction too."""
+    from solve_keyframe_pose_graph_tpu.parallel import make_mesh, shard_problem
+
+    problem, kw = _small_problem()
+    res_1 = lm_ops.lm_solve_aot(problem, **kw)            # single-device key
+
+    mesh = make_mesh(8)
+    prob_sh = shard_problem(problem, mesh)
+    res_sh = lm_ops.lm_solve_aot(prob_sh, **kw)           # mesh-sharded key
+    # the toy graph converges to chi^2 ~1e-15 where rtol on the cost is
+    # meaningless fp32 noise; agreement is pinned on the poses
+    np.testing.assert_allclose(np.asarray(res_sh.t), np.asarray(res_1.t),
+                               atol=1e-2)
+    assert float(res_sh.final_cost) <= float(res_sh.initial_cost)
+    key_1 = ("solve", tuple(sorted(kw.items())), lm_ops._shape_key(problem))
+    key_sh = ("solve", tuple(sorted(kw.items())),
+              lm_ops._shape_key(prob_sh))
+    assert key_1 != key_sh
+    assert key_1 in lm_ops._AOT_CACHE and key_sh in lm_ops._AOT_CACHE
+
+    res_1b = lm_ops.lm_solve_aot(problem, **kw)           # unshard again
+    assert float(res_1b.final_cost) == float(res_1.final_cost)
+
+
 def test_disk_layer_default_off(tmp_path, monkeypatch):
     """Without the KPG_AOT_DISK=1 opt-in the disk layer is inert on every
     backend (measured loss over the tunneled TPU — utils/cache.py)."""
