@@ -238,9 +238,10 @@ def bench_streaming(results, async_dispatch: bool = False,
     solve (the reference's 30 Hz camera + 0.5 Hz solver poll,
     PoseGraphSLAM.cpp:1257) — the regime async_dispatch exists for: the
     solve finishes DURING the pace gap, so collect is free at the next
-    trigger. Warmed runs pin loop_impl='sorted2' (capacity-free) so
-    warmup() compiles exactly the programs the stream later runs — the
-    tiledrows tile_k is data-derived and cannot be precompiled."""
+    trigger. Runs the PRODUCT default config end to end — including the
+    certified tiledrows6 loop matvec, whose sticky per-bucket tile_k
+    (gn.tile_k_rule) is what warmup() pre-compiles (round-4 VERDICT
+    item 2: the old sorted2 pin is gone)."""
     import dataclasses as dc
 
     from solve_keyframe_pose_graph_tpu.config import Config, StreamConfig
@@ -251,9 +252,6 @@ def bench_streaming(results, async_dispatch: bool = False,
     g = synthetic.circle_graph(n_nodes=n_nodes, n_loops=n_loops, seed=seed)
     store = GraphStore()
     cfg = Config(stream=StreamConfig(async_dispatch=async_dispatch))
-    if warmup:
-        cfg = dc.replace(cfg, solver=dc.replace(cfg.solver,
-                                                loop_impl="sorted2"))
     eng = SolverEngine(store, cfg)
     warmup_s = None
     if warmup:
@@ -345,7 +343,6 @@ from solve_keyframe_pose_graph_tpu.config import Config
 from solve_keyframe_pose_graph_tpu.graph.store import GraphStore
 from solve_keyframe_pose_graph_tpu.solver.engine import SolverEngine
 cfg = Config()
-cfg = dc.replace(cfg, solver=dc.replace(cfg.solver, loop_impl="sorted2"))
 eng = SolverEngine(GraphStore(), cfg)
 t0 = time.perf_counter()
 n = eng.warmup({nodes}, {edges}, background=True)

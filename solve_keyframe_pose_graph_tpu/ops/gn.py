@@ -758,6 +758,23 @@ def tile_k_for(loop_b, loop_a, n_cap: int, bucket: int = 128,
     return int(max(bucket, -(-int(load) // bucket) * bucket))
 
 
+def tile_k_rule(n_cap: int, e_cap: int, bucket: int = 128) -> int:
+    """Data-free STICKY tile capacity for a (n_cap, e_cap) bucket: twice the
+    mean duplicated-edge load per 128-node dest tile at FULL edge capacity,
+    floored at one bucket. This is the value engine.warmup() pre-compiles
+    AND the engine's first trigger in a bucket uses, so the warmed program
+    is exactly the one the stream dispatches (tile_k is a static program
+    argument — a data-derived value that drifts mid-stream would trigger
+    20-90 s trigger-time compiles over the tunnel, the coarse_group
+    lesson). Streams whose live edge distribution concentrates beyond the
+    2x-mean headroom bump the sticky value by doubling (engine._sticky_
+    tile_k) — a rare one-time recompile; overflow would otherwise silently
+    drop edges (build_tiled_incidence routes overflow slots to drop)."""
+    tiles = max(1, -(-n_cap // TiledIncidence.TILE_N))
+    mean2 = (4 * e_cap + tiles - 1) // tiles      # ceil(2 * mean dup load)
+    return int(max(bucket, -(-mean2 // bucket) * bucket))
+
+
 def build_tiled_incidence(problem: Problem, tile_k: int) -> TiledIncidence:
     """Device-side slot assignment (once per solve, inside the jitted
     program): stable-sort dup edges by dest tile, rank within tile, scatter

@@ -1040,8 +1040,25 @@ def cfg_lm_kwargs(solver_cfg, residual_mode: str = "6dof",
                   use_switch: bool = True,
                   tile_k: int | None = None) -> dict:
     """config.SolverConfig -> lm_solve keyword dict (shared by every host
-    entry point so the engine, CLI, and benchmarks solve identically)."""
+    entry point so the engine, CLI, and benchmarks solve identically).
+
+    Diagnostic-only lm_solve variants are FENCED out of this product
+    surface (VERDICT round-4 item 8): "tiledng" (fake-gather A/B probe,
+    wrong results), "sorted2ng" (no-gather probe, wrong results), "none"
+    (drops the loop rows from the matvec) and the "identity"
+    preconditioner exist only for benchmarks/ cost-decomposition A/Bs,
+    which call lm_solve directly."""
     loop_impl = getattr(solver_cfg, "loop_impl", "sorted2")
+    if loop_impl in ("tiledng", "sorted2ng", "none"):
+        raise ValueError(
+            f"loop_impl={loop_impl!r} is a diagnostic A/B variant with "
+            "wrong/partial results — not a product configuration. Use "
+            "'tiledrows6' (certified default) or 'sorted2'.")
+    if getattr(solver_cfg, "preconditioner", "band+coarse") == "identity":
+        raise ValueError(
+            "preconditioner='identity' is a diagnostic probe — not a "
+            "product configuration. Use 'band+coarse' (certified default), "
+            "'band', or 'jacobi'.")
     if loop_impl in ("tiled", "tiledrows", "tiledrows16",
                      "tiledrows6") and tile_k is None:
         loop_impl = "sorted2"

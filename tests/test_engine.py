@@ -429,3 +429,81 @@ def test_background_escalation_off_is_inline():
     assert row["fp64_escalated"] == "fp64"
     assert not [s for s in eng.solve_stats
                 if s.get("background_escalation")]
+
+
+def test_engine_dispatches_certified_tiledrows6(monkeypatch):
+    """Round-4 VERDICT item 2: under the DEFAULT config the engine must
+    dispatch the certified tiledrows6 loop matvec (it used to silently
+    downgrade to sorted2 via tile_k=None, so the product never ran the
+    certified parity configuration), with the sticky per-bucket tile_k
+    that warmup() pre-compiles (gn.tile_k_rule)."""
+    from solve_keyframe_pose_graph_tpu.graph import synthetic
+    from solve_keyframe_pose_graph_tpu.ops import lm as lm_ops
+    from solve_keyframe_pose_graph_tpu.ops.gn import tile_k_rule
+
+    seen = {}
+    orig = lm_ops.lm_solve_aot
+
+    def spy(problem, **kw):
+        seen.update(kw)
+        return orig(problem, **kw)
+
+    monkeypatch.setattr(lm_ops, "lm_solve_aot", spy)
+
+    store = GraphStore()
+    eng = SolverEngine(store)        # default Config
+    g = synthetic.circle_graph(n_nodes=64, n_loops=8, seed=0)
+    for i in range(g.n_nodes):
+        store.add_node(T0 + i * S, g.vio_q[i], g.vio_t[i])
+    for k in range(g.n_loops):
+        a, b = map(int, g.loop_pairs[k])
+        store.add_loop_edge_by_index(a, b, g.loop_q[k], g.loop_t[k],
+                                     float(g.loop_w[k]))
+    assert eng.trigger()
+    eng.drain()
+    assert seen["loop_impl"] == "tiledrows6"
+    cap = eng.config.capacity
+    assert seen["tile_k"] == tile_k_rule(cap.initial_nodes,
+                                         cap.initial_edges)
+    st = eng.solve_stats[-1]
+    assert st["final_cost"] <= st["initial_cost"]
+
+
+def test_sticky_tile_k_bumps_on_concentrated_edges():
+    """The sticky tile_k starts at the data-free rule value (what warmup
+    compiled) and must DOUBLE when the live edge distribution would
+    overflow it (overflow slots silently drop edges), then stay sticky."""
+    from solve_keyframe_pose_graph_tpu.ops.gn import tile_k_rule
+
+    eng = SolverEngine(GraphStore())
+    n_cap = eng.config.capacity.initial_nodes
+    e_cap = eng.config.capacity.initial_edges
+    rule = tile_k_rule(n_cap, e_cap)
+
+    # every edge endpoint in dest tile 0: max load = 2 * e_cap > rule
+    eb = np.zeros(e_cap, np.int64)
+    ea = np.ones(e_cap, np.int64)
+    mask = np.ones(e_cap, bool)
+    tk = eng._sticky_tile_k(n_cap, e_cap, eb, ea, mask)
+    assert tk >= 2 * e_cap > rule
+    # sticky: a later sparse trigger keeps the bumped value (no program flap)
+    tk2 = eng._sticky_tile_k(n_cap, e_cap, eb[:4], ea[:4], mask[:4])
+    assert tk2 == tk
+
+
+def test_diagnostic_variants_fenced_from_product_config():
+    """VERDICT round-4 item 8: known-wrong diagnostic lm_solve variants
+    must not be reachable through the product config surface."""
+    import dataclasses
+
+    import pytest
+
+    from solve_keyframe_pose_graph_tpu.ops import lm as lm_ops
+
+    for bad in ("tiledng", "sorted2ng", "none"):
+        cfg = dataclasses.replace(SolverConfig(), loop_impl=bad)
+        with pytest.raises(ValueError, match="diagnostic"):
+            lm_ops.cfg_lm_kwargs(cfg)
+    cfg = dataclasses.replace(SolverConfig(), preconditioner="identity")
+    with pytest.raises(ValueError, match="diagnostic"):
+        lm_ops.cfg_lm_kwargs(cfg)
