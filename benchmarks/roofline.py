@@ -92,7 +92,16 @@ def _timed_loop(phase, ops, rtt, outer=3):
         per_op = max((total - rtt) / reps, 1e-3)   # pilot estimate, clamped
         reps = int(min(16384, max(reps, np.ceil(target / per_op))))
         total = measure(make(reps))
-    return (total - rtt) / reps
+        if total - rtt < target:
+            # reps hit the cap with the amortization target unmet: the
+            # number is RTT-jitter-sensitive — tighten by raising the outer
+            # repeat count (median over more fetches) and say so
+            total = float(np.median(
+                [measure(make(reps)) for _ in range(3)]))
+            print(f"  WARNING: reps cap {reps} leaves device time "
+                  f"{total - rtt:.1f} ms under the {target:.1f} ms target; "
+                  f"median of 3x{outer} fetches taken (RTT-jitter risk)")
+    return (total - rtt) / reps, reps
 
 
 def _cost(fn, *args):
@@ -105,6 +114,23 @@ def _cost(fn, *args):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--solve-ms", type=float, default=None,
+                    help="whole-solve parity wall for the in_context "
+                         "section (default: results.json circle_5k_10k "
+                         "tpu_parity_ms)")
+    ap.add_argument("--cg-iterations", type=int, default=None,
+                    help="CG iteration count of that solve (default: "
+                         "results.json parity_cg_iterations)")
+    ap.add_argument("--lm-intercept-ms", type=float, default=44.0,
+                    help="per-solve LM fixed cost estimate subtracted "
+                         "before dividing by CG iterations (round-3 "
+                         "decomposition 55 ms minus emb's measured "
+                         "-11.3 ms — BASELINE.md roofline section)")
+    args = ap.parse_args()
+
     prob, g = bench.build()
     q, t, s = prob.q, prob.t, prob.switch
     rtt = _rtt()
@@ -146,11 +172,12 @@ def main():
     pieces = {}
 
     def piece(name, phase, cost_fn, *cost_args):
-        ms = _timed_loop(phase, ops, rtt)
+        ms, reps_eff = _timed_loop(phase, ops, rtt)
         by, fl = _cost(cost_fn, ops, *cost_args)
         gbs = by / (ms * 1e-3) / 1e9 if ms > 0 else float("nan")
         pieces[name] = {
             "ms_per_op": round(ms, 4),
+            "reps": reps_eff,          # effective (auto-recalibrated) reps
             "mb_accessed": round(by / 1e6, 3),
             "gb_per_s": round(gbs, 1),
             "pct_hbm_peak": round(100.0 * gbs / HBM_PEAK_GBS, 1),
@@ -234,10 +261,46 @@ def main():
               f"{cg['gb_per_s_working_set']:.1f} GB/s lower bound "
               f"({cg['pct_hbm_peak_working_set']:.1f}% of HBM peak)")
 
-    blob = {"hbm_peak_gb_s": HBM_PEAK_GBS, "reps": REPS,
+    # in-context bandwidth analysis (the headline numbers BASELINE.md's
+    # roofline section cites). Isolated composite probes LIE about the
+    # in-context CG iteration (CLAUDE.md law), so the authoritative number
+    # comes from the real whole-solve measurement: the parity row of
+    # benchmarks/results.json (or CLI overrides), minus the per-LM-iteration
+    # fixed cost, divided by the solve's CG iteration count, against THIS
+    # run's working set.
+    in_ctx = None
+    solve_ms, cg_iters = args.solve_ms, args.cg_iterations
+    if solve_ms is None or cg_iters is None:
+        try:
+            row = json.load(open(
+                os.path.join(ROOT, "benchmarks", "results.json")))[
+                    "circle_5k_10k"]
+            solve_ms = solve_ms or float(row["tpu_parity_ms"])
+            cg_iters = cg_iters or int(row["parity_cg_iterations"])
+        except (OSError, KeyError, ValueError) as e:
+            print(f"in_context skipped (no parity row / override): {e}")
+    if solve_ms and cg_iters:
+        cg_ms = (solve_ms - args.lm_intercept_ms) / cg_iters
+        gbs = ws_cg / (cg_ms * 1e-3) / 1e9
+        in_ctx = {
+            "solve_ms": solve_ms,
+            "cg_iterations": cg_iters,
+            "lm_intercept_ms_est": args.lm_intercept_ms,
+            "cg_iter_ms": round(cg_ms, 4),
+            "working_set_mb": round(ws_cg / 1e6, 2),
+            "gb_per_s": round(gbs, 1),
+            "pct_hbm_peak": round(100.0 * gbs / HBM_PEAK_GBS, 1),
+            "memory_bound_floor_ms_per_iter": round(
+                ws_cg / HBM_PEAK_GBS / 1e6, 4),
+        }
+        print(f"in-context CG iter ({solve_ms} - {args.lm_intercept_ms})"
+              f"/{cg_iters} = {cg_ms:.4f} ms -> {gbs:.1f} GB/s "
+              f"({in_ctx['pct_hbm_peak']:.1f}% of HBM peak)")
+
+    blob = {"hbm_peak_gb_s": HBM_PEAK_GBS, "pilot_reps": REPS,
             "rtt_ms": round(rtt, 2), "n_cap": int(prob.q.shape[0]),
             "e_cap": int(prob.loop_a.shape[0]), "tile_k": tile_k,
-            "pieces": pieces}
+            "in_context": in_ctx, "pieces": pieces}
     with open(OUT, "w") as f:
         json.dump(blob, f, indent=2)
     print("->", OUT)
