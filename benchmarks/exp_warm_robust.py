@@ -66,6 +66,11 @@ def main():
     ap.add_argument("--loop-impl", default="tiledrows6")
     ap.add_argument("--band-impl", default="aos")
     ap.add_argument("--cg-cap", type=int, default=60)
+    ap.add_argument("--fp64-backend", default="tpu",
+                    help="full-fp64 insurance rung processor for escalated "
+                         "instances: 'tpu' (emulated, the round-3/4 rows) | "
+                         "'cpu' (native exact-step LDL^T) | 'auto'. Non-tpu "
+                         "values get their own result key.")
     args = ap.parse_args()
 
     from solve_keyframe_pose_graph_tpu.graph import datasets, synthetic
@@ -82,6 +87,8 @@ def main():
         results = json.load(open(RESULTS))
     key = (f"warm{args.warm}x{args.mult:g}_l{args.bcr_levels}"
            f"_{args.loop_impl}_{args.band_impl}_cap{args.cg_cap}")
+    if args.fp64_backend != "tpu":
+        key += f"_fp64{args.fp64_backend}"
     prev = {r["name"]: r for r in results.get(key, {}).get("rows", [])}
     rows = []
 
@@ -133,7 +140,7 @@ def main():
             t0 = time.perf_counter()
             res, rung = lm.lm_solve_adaptive(
                 prob, loop_impl=args.loop_impl, tile_k=int(tile_k),
-                coarse_group=grp, **kw)
+                coarse_group=grp, fp64_backend=args.fp64_backend, **kw)
             wall = 1e3 * (time.perf_counter() - t0)
             row.update({
                 "nodes": n, "loops": e,

@@ -266,6 +266,12 @@ def bench_streaming(results, async_dispatch: bool = False,
         a, b = map(int, g.loop_pairs[k])
         edge_by_later.setdefault(max(a, b), []).append(k)
     walls = []
+    # per-trigger decomposition (VERDICT r4 item 6: the 10k mid-stream
+    # stalls need attribution): phase-total deltas + whether this trigger
+    # lowered/compiled a NEW executable (the stall signature)
+    from solve_keyframe_pose_graph_tpu.ops import lm as lm_mod
+    detail = []
+    prev_totals: dict = {}
     for i in range(g.n_nodes):
         store.add_node(t0 + i * dtn, g.vio_q[i], g.vio_t[i])
         for k in edge_by_later.get(i, []):
@@ -287,10 +293,22 @@ def bench_streaming(results, async_dispatch: bool = False,
                 eng.config = dc.replace(
                     saved_cfg, solver=dc.replace(saved_cfg.solver,
                                                  escalate_rejects=0))
+            prev_totals = dict(eng.timer.totals)
+            prev_aot = len(lm_mod._AOT_CACHE)
             tt = time.perf_counter()
             fired = eng.trigger()
             if fired:
-                walls.append((time.perf_counter() - tt) * 1e3)
+                w = (time.perf_counter() - tt) * 1e3
+                walls.append(w)
+                deltas = {k: round(1e3 * (eng.timer.totals[k]
+                                          - prev_totals.get(k, 0.0)), 1)
+                          for k in eng.timer.totals
+                          if eng.timer.totals[k]
+                          - prev_totals.get(k, 0.0) > 5e-4}
+                detail.append({
+                    "wall_ms": round(w, 1), "node_len": store.node_len,
+                    "phases_ms": deltas,
+                    "new_executables": len(lm_mod._AOT_CACHE) - prev_aot})
             if inject:
                 eng.config = saved_cfg
     eng.drain()
@@ -321,6 +339,16 @@ def bench_streaming(results, async_dispatch: bool = False,
         "steady_state_ms_median": round(
             float(np.median(walls[len(walls) // 2:])), 1),
         "walls_ms": [round(w, 1) for w in walls],
+        # decomposition of every trigger whose wall exceeded 2x the median
+        # (the stall attribution VERDICT r4 item 6 asked for)
+        "stall_detail": [d for d in detail
+                         if d["wall_ms"] > 2.0 * float(np.median(walls))],
+        "warmup_decomposition": {
+            "prepare_s": round(sum(s["prepare_s"]
+                                   for s in eng.warmup_stats), 1),
+            "prime_s": round(sum(s["prime_s"]
+                                 for s in eng.warmup_stats), 1),
+            "programs": len(eng.warmup_stats)} if warmup else None,
         "settle_wall_ms": settle_wall_ms,
         "phase_ms_mean": phase_ms,
         "incremental_builds": (
@@ -349,7 +377,12 @@ n = eng.warmup({nodes}, {edges}, background=True)
 ready = time.perf_counter() - t0
 eng.warmup_join()
 print(json.dumps({{"programs": n, "ready_s": round(ready, 1),
-                   "warmup_s": round(time.perf_counter() - t0, 1)}}))
+                   "warmup_s": round(time.perf_counter() - t0, 1),
+                   "prepare_s": round(sum(s["prepare_s"]
+                                          for s in eng.warmup_stats), 1),
+                   "prime_s": round(sum(s["prime_s"]
+                                        for s in eng.warmup_stats), 1),
+                   "per_bucket": eng.warmup_stats}}))
 """
 
 
@@ -387,6 +420,9 @@ def bench_warmup_cache(results, n_nodes=10000, n_loops=2000):
                     d = json.loads(line)
                     row[f"{attempt}_warmup_s"] = d["warmup_s"]
                     row[f"{attempt}_ready_s"] = d["ready_s"]
+                    row[f"{attempt}_prepare_s"] = d.get("prepare_s")
+                    row[f"{attempt}_prime_s"] = d.get("prime_s")
+                    row[f"{attempt}_per_bucket"] = d.get("per_bucket")
                     row["programs"] = d["programs"]
             if f"{attempt}_warmup_s" not in row:
                 row[f"{attempt}_error"] = out.stderr[-500:]

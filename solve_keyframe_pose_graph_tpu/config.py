@@ -99,6 +99,14 @@ class SolverConfig:
     # Healthy solves never escalate and pay nothing.
     adaptive_fp64: bool = True
     escalate_rejects: int = 3
+    # Processor for the full-fp64 insurance rung. "auto" (default) runs the
+    # exact-step native-CPU LDL^T rung (solver/cpu_rung.py — the reference's
+    # own mode: fp64 Ceres on CPU, PoseGraphSLAM.cpp:1270; measured
+    # 30-600x faster than TPU-emulated fp64 and leaves the chip free for
+    # live triggers) whenever it is available for the residual family,
+    # falling back to the chunked TPU rung otherwise. "cpu" requires the
+    # native rung; "tpu" forces the emulated-fp64 device rung.
+    fp64_backend: str = "auto"
     # Re-orthonormalize quaternions after each accepted LM step.
     renormalize: bool = True
 

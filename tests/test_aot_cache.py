@@ -93,6 +93,25 @@ def test_aot_cache_keys_on_sharding():
     assert float(res_1b.final_cost) == float(res_1.final_cost)
 
 
+def test_default_device_arrays_share_numpy_key():
+    """warmup() compiles from HOST (numpy) problems; live triggers dispatch
+    device-resident problems from the incremental builder. Both land on the
+    default device, so they must share one executable — keying them apart
+    silently voids warmup (every first trigger per bucket would re-lower
+    and re-compile)."""
+    import jax
+
+    problem, kw = _small_problem()
+    key_np = lm_ops._shape_key(problem)
+    prob_dev = jax.device_put(problem)            # default-device committed
+    assert lm_ops._shape_key(prob_dev) == key_np
+    res_np = lm_ops.lm_solve_aot(problem, **kw)
+    n1 = len(lm_ops._AOT_CACHE)                   # numpy-keyed executable in
+    res_dev = lm_ops.lm_solve_aot(prob_dev, **kw)
+    assert len(lm_ops._AOT_CACHE) == n1           # same executable, reused
+    assert float(res_np.final_cost) == float(res_dev.final_cost)
+
+
 def test_disk_layer_default_off(tmp_path, monkeypatch):
     """Without the KPG_AOT_DISK=1 opt-in the disk layer is inert on every
     backend (measured loss over the tunneled TPU — utils/cache.py)."""

@@ -151,9 +151,16 @@ def test_engine_warmup_compiles_buckets():
 
     eng = SolverEngine(GraphStore())
     cap = eng.config.capacity
-    # up to 2x the initial buckets -> 2 node buckets x 2 edge buckets
+    # up to 2x the initial buckets: the proportional staircase keeps
+    # (1024,256), (1024,512), (2048,512) and prunes the off-path
+    # (2048,256) — a 2048-node stream with <=512 edges has outgrown the
+    # 256-edge bucket by the time it reaches that node bucket
     n = eng.warmup(cap.initial_nodes * 2, cap.initial_edges * 2)
-    assert n == 4
+    assert n == 3
+    # opting out of the pruning warms the full product
+    eng2 = SolverEngine(GraphStore())
+    assert eng2.warmup(cap.initial_nodes * 2, cap.initial_edges * 2,
+                       proportional=False) == 4
 
 
 def test_engine_warmup_background_overlaps_serving():
@@ -170,7 +177,7 @@ def test_engine_warmup_background_overlaps_serving():
     cap = eng.config.capacity
     n = eng.warmup(cap.initial_nodes * 2, cap.initial_edges * 2,
                    background=True)
-    assert n == 4
+    assert n == 3
     # serve while the background thread is (possibly still) compiling
     g = synthetic.circle_graph(n_nodes=48, n_loops=6, seed=3)
     t0, dt = 1_000_000_000, 100_000_000
@@ -398,7 +405,10 @@ def test_background_escalation_serves_fp32_then_lands():
     assert rows, eng.solve_stats
     last = rows[-1]
     assert "escalation_error" not in last, last
-    assert last["escalated_rung"] == "fp64"     # forced ladder climbs fully
+    # forced ladder climbs fully; the full rung lands on the native CPU
+    # LDL^T when available (the product default, VERDICT r4 item 3), on
+    # the emulated device rung otherwise
+    assert last["escalated_rung"] in ("fp64-cpu", "fp64")
     assert last["applied"] is True
     assert np.isfinite(last["final_cost"])
     # the escalated write-back landed in the opt state: a fresh assemble-
@@ -426,7 +436,7 @@ def test_background_escalation_off_is_inline():
                         - np.asarray(store.node_pose(5)[1]) + 0.05, 1.0)
     assert eng.trigger()
     row = [s for s in eng.solve_stats if "fp64_escalated" in s][-1]
-    assert row["fp64_escalated"] == "fp64"
+    assert row["fp64_escalated"] in ("fp64-cpu", "fp64")
     assert not [s for s in eng.solve_stats
                 if s.get("background_escalation")]
 
