@@ -54,7 +54,10 @@ def test_forced_escalation_climbs_to_fp64_and_matches_direct_fp64():
     fp64 and the escalated result must match a direct fp64 solve exactly
     (same program, same inputs)."""
     _, prob = build_circle_problem(n=120, n_loops=16, dtype=np.float32)
-    res, rung = lm_solve_adaptive(prob, escalate_rejects=0, max_iterations=8)
+    # pin the DEVICE ladder (fp64_backend="tpu"): the product default routes
+    # the full rung to the native CPU LDL^T (tests/test_cpu_rung.py)
+    res, rung = lm_solve_adaptive(prob, escalate_rejects=0, max_iterations=8,
+                                  fp64_backend="tpu")
     assert rung == "fp64"
     assert res.q.dtype == jnp.float64
 
