@@ -570,9 +570,13 @@ def main():
             bench_streaming(results, warmup=True, pace_ms=150.0,
                             async_dispatch=True)
         if not only or "streaming_30k" in only:
-            # capacity-ceiling spot check (PoseGraphSLAM.cpp:17-25)
+            # capacity-ceiling spot check (PoseGraphSLAM.cpp:17-25), with a
+            # mid-stream forced escalation: the fp64 insurance rung must
+            # apply AT CAPACITY (VERDICT r4 item 4) without stalling the
+            # trigger stream (background escalation + native CPU rung)
             bench_streaming(results, n_nodes=30000, n_loops=3000,
-                            trigger_every=1500, warmup=True)
+                            trigger_every=1500, warmup=True,
+                            inject_distress_at=5)
         if not only or "streaming_distress" in only:
             # injected-distress row (VERDICT r3 item 4): one mid-stream
             # trigger forced up the ladder; with background escalation the

@@ -76,6 +76,9 @@ class SolverConfig:
                                         # bench scale) | "aos" (batched-
                                         # matmul form, ops/band.py) | "em"
                                         # (entry-major end to end, slower)
+                                        # | "emb16"/"aos16" (bf16 factor
+                                        # storage; certification:
+                                        # benchmarks/warm_robust.json)
     # Loop-edge matvec formulation. "tiledrows6" (tile-padded one-hot,
     # j-reduction hoisted before the one-hot dot — the certified round-3
     # production form; BASELINE.md) needs a static per-tile capacity that

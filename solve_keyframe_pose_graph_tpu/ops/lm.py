@@ -245,7 +245,7 @@ def _lm_setup(
                     A_em, C_em, max_levels=bcr_levels)
                 band = lambda r: band_em.band_precond_apply_em(fac_em, r)
             else:
-                if band_impl == "emb":
+                if band_impl in ("emb", "emb16"):
                     # entry-major BUILD (strided lane slices + static row
                     # gathers — no 6x (36,Nc)->(Nc,6,6) relayouts, no
                     # ~50-concat super-node assembly), one (d*d,M)->(M,d,d)
@@ -268,7 +268,7 @@ def _lm_setup(
                 fac = band_ops.bcr_factorize(A_band, C_band,
                                              group=problem.fanout,
                                              max_levels=bcr_levels)
-                if band_impl == "aos16":
+                if band_impl in ("aos16", "emb16"):
                     # factor in f32 (quality), STORE bf16: halves the
                     # dominant HBM stream of every CG iteration
                     fac = band_ops.cast_factor(fac, jnp.bfloat16)
@@ -579,7 +579,11 @@ def lm_solve(
                                     # | "em" (entry-major end to end;
                                     # MEASURED 1.6x SLOWER in-context:
                                     # lane-batched (d,d,m) einsums are VPU
-                                    # work and lose the MXU)
+                                    # work and lose the MXU) | "emb16" /
+                                    # "aos16" (same build, factor STORED
+                                    # bf16 — halves the band-factor HBM
+                                    # stream of every CG iteration; factor
+                                    # computed in f32)
     precision: str = "native",      # "native" (problem dtype end-to-end) |
                                     # "mixed" (float64 residual/Jacobian
                                     # assembly, parameter state and

@@ -98,3 +98,19 @@ def test_lm_solve_band_impl_parity(impl):
     np.testing.assert_allclose(float(r1.final_cost), float(r0.final_cost),
                                rtol=1e-8)
     np.testing.assert_allclose(np.array(r1.t), np.array(r0.t), atol=1e-6)
+
+
+def test_lm_solve_emb16_bf16_factor():
+    """band_impl="emb16" (entry-major build, bf16-STORED BCR factor): a
+    preconditioner-only perturbation — same optimum as "emb", the factor
+    cast only changes the CG trajectory (ops/lm.py band_impl docs)."""
+    from solve_keyframe_pose_graph_tpu.ops.lm import lm_solve
+    from tests.test_lm_solver import build_circle_problem
+
+    _, prob = build_circle_problem(n=200, n_loops=30)
+    kw = dict(max_iterations=8, preconditioner="band+coarse",
+              coarse_group=16)
+    r0 = lm_solve(prob, band_impl="emb", **kw)
+    r1 = lm_solve(prob, band_impl="emb16", **kw)
+    np.testing.assert_allclose(float(r1.final_cost), float(r0.final_cost),
+                               rtol=5e-3, atol=1e-8)
