@@ -357,7 +357,8 @@ def bench_streaming(results, async_dispatch: bool = False,
              "delta": eng._inc_builder.delta_builds}),
         "bg_escalations": [
             {k2: s[k2] for k2 in ("trigger", "escalated_rung", "applied",
-                                  "final_cost", "escalation_wall_ms")
+                                  "final_cost", "escalation_wall_ms",
+                                  "rung_stats")
              if k2 in s} for s in bg_rows],
         "final_chi2": (eng.solve_stats[-1]["final_cost"]
                        if eng.solve_stats else None),

@@ -63,6 +63,13 @@ MIN_RADIUS = 1e-32
 # per instance; escalations are rare so one-at-a-time costs nothing)
 _HOST_LOCK = threading.Lock()
 
+# cooperative shutdown for background warm threads (engine._cpu_rung_warm):
+# a daemon thread killed mid-XLA-compile at process exit aborts the
+# interpreter (measured: SIGABRT "exception not rethrown" in pytest), so
+# warm passes check this between jit compiles and the engine's atexit
+# handler sets it then joins with a bounded timeout.
+_WARM_STOP = threading.Event()
+
 _FLOAT_FIELDS = (
     "q", "t", "node_mask", "free_mask", "odo_q", "odo_t", "odo_w",
     "odo_mask", "loop_q", "loop_t", "loop_w", "loop_mask", "switch",
@@ -220,7 +227,10 @@ def lm_solve_native(problem: Problem, lm_kw: dict):
             cost = cost0 = float(eval_cost(problem, q, t, s))
             k = accepted = distress = 0
             done = False
+            abort_ev = lm_kw.get("_abort_event")
             while k < max_iterations and not done:
+                if abort_ev is not None and abort_ev.is_set():
+                    break
                 (_, red, band_vals, g_n, scale_n, scale_s, lm_n, lm_s
                  ) = assemble_reduce(problem, q, t, s, np.float64(radius))
                 scale_n = np.asarray(scale_n)
@@ -316,7 +326,16 @@ def cpu_fp64_resolve(problem: Problem, lm_kw: dict, *,
     t0 = time.perf_counter()
     with lock:
         n_len, e_len = live_lengths(problem)
-        small = repack_problem(problem, n_len, e_len)
+        # power-of-two repack capacities, NOT the default 1024-granular
+        # ones: this aligns the rung's jit/compile keys with the engine's
+        # capacity-bucket staircase, so engine.warmup's background
+        # cpu-rung pass (warm(), below) pre-compiles exactly the shapes a
+        # mid-stream escalation hits. Worst case 2x the live problem in
+        # hardware-fp64 host work — seconds, vs a ~9 s cold x64
+        # trace+compile at an unwarmed shape (measured 11.8 s first
+        # escalation in the 2k/400 distress row).
+        small = repack_problem(problem, _pow2(n_len, 1024),
+                               _pow2(e_len, 256), granularity=1)
         host = _host_problem64(small)
         if small.n_cap != problem.n_cap or small.e_cap != problem.e_cap:
             import jax
@@ -344,3 +363,45 @@ def cpu_fp64_resolve(problem: Problem, lm_kw: dict, *,
 
 # observability: benchmarks read the last rung decomposition
 _LAST_STATS: dict = {}
+
+
+def _pow2(x: int, lo: int = 256) -> int:
+    c = lo
+    while c < int(x):
+        c *= 2
+    return c
+
+
+def warm(n_cap: int, e_cap: int, fanout: int = 1, p_cap: int = 16) -> bool:
+    """Pre-trace/compile the rung at one capacity bucket (dummy graph,
+    max_iterations=1). Pure HOST work — no device contact — so production
+    startup runs it on a daemon thread (engine.warmup) and a first real
+    escalation pays only the ~2.5 s exact solve, not the ~9 s cold x64
+    trace+lower+compile of the four jitted helpers (measured: 11.8 s cold
+    first escalation in the 2k/400 distress stream, 2.5 s warm)."""
+    if _WARM_STOP.is_set() or not available():
+        return False
+    from solve_keyframe_pose_graph_tpu.graph import synthetic
+    from solve_keyframe_pose_graph_tpu.solver.problem import build_problem_np
+
+    g = synthetic.circle_graph(n_nodes=min(64, n_cap), n_loops=8, seed=0)
+    prob = build_problem_np(
+        q=g.vio_q, t=g.vio_t, vio_q=g.vio_q, vio_t=g.vio_t,
+        node_valid=np.ones(g.n_nodes, bool),
+        loop_pairs=g.loop_pairs, loop_q=g.loop_q,
+        loop_t=g.loop_t, loop_w=g.loop_w,
+        loop_valid=np.ones(g.n_loops, bool),
+        switch=np.full(g.n_loops, 0.99),
+        prior_idx=np.array([0]), prior_q=g.vio_q[:1],
+        prior_t=g.vio_t[:1], prior_w=np.array([1.1]),
+        n_cap=n_cap, e_cap=e_cap, p_cap=p_cap, fanout=fanout,
+        dtype=np.float64,
+    )
+    # force hardware-fp64 leaves via the SAME converter the escalation path
+    # uses: outside an x64 scope build_problem_np canonicalizes to f32, and
+    # a f32-traced warm would miss the escalation's f64 jit keys entirely
+    # (measured: 6.3 s first escalation after a "warm" — zero coverage)
+    prob = _host_problem64(prob)
+    lm_solve_native(prob, {"max_iterations": 1,
+                           "_abort_event": _WARM_STOP})
+    return True

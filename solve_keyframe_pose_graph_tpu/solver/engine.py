@@ -53,6 +53,73 @@ def _bucket(n: int, initial: int) -> int:
     return cap
 
 
+def _warmup_pairs(cap, max_nodes: int, max_edges: int,
+                  proportional: bool = True) -> list:
+    """The (n_cap, e_cap) bucket programs warmup() compiles.
+
+    proportional=True prunes the full product down to the buckets a stream
+    growing to (max_nodes, max_edges) actually visits — a monotone
+    staircase, but n_cap and e_cap do NOT double at the same node: the
+    stream ENTERS n-bucket n_cap at ~n_cap/2 nodes carrying only ~half
+    that bucket's proportional edge load (the LAG pair). Keep every
+    e-bucket from the entry load up to 2x the exit load (one doubling of
+    burst headroom). The first round-5 diagonal-only rule dropped the
+    (2048, 256) lag pair and the 2k/400 stream paid a measured 20.6 s
+    mid-stream compile stall on it. A stream that still strays off the
+    kept set just pays its own bucket compile, as before."""
+    pairs = []
+    n_cap = cap.initial_nodes
+    while True:
+        e_cap = cap.initial_edges
+        while e_cap <= max(_bucket(max_edges, cap.initial_edges),
+                           cap.initial_edges):
+            pairs.append((n_cap, e_cap))
+            e_cap *= 2
+        if n_cap >= _bucket(max_nodes, cap.initial_nodes):
+            break
+        n_cap *= 2
+    if proportional and max_edges > cap.initial_edges:
+        n_final = _bucket(max_nodes, cap.initial_nodes)
+        kept = []
+        for n_cap_, e_cap_ in pairs:
+            e_entry = max(int(max_edges * (n_cap_ // 2) / n_final), 1)
+            e_exit = max(
+                int(max_edges * min(n_cap_, max_nodes) / n_final), 1)
+            lo = _bucket(e_entry, cap.initial_edges)
+            hi = 2 * _bucket(e_exit, cap.initial_edges)
+            if lo <= e_cap_ <= hi:
+                kept.append((n_cap_, e_cap_))
+        pairs = kept
+    return pairs
+
+
+# background cpu-rung warm threads (engine._cpu_rung_warm): a daemon thread
+# killed mid-XLA-compile at interpreter exit ABORTS the process (SIGABRT
+# "exception not rethrown"), so exit sets the cooperative stop event and
+# joins each registered thread — bounded by at most one in-flight helper
+# compile (cpu_rung.lm_solve_native checks the event between steps).
+_CPU_WARM_THREADS: list = []
+_CPU_WARM_ATEXIT = [False]
+
+
+def _register_cpu_warm_thread(t) -> None:
+    _CPU_WARM_THREADS.append(t)
+    if not _CPU_WARM_ATEXIT[0]:
+        import atexit
+
+        def _join_cpu_warm():
+            try:
+                from solve_keyframe_pose_graph_tpu.solver import cpu_rung
+                cpu_rung._WARM_STOP.set()
+            except Exception:          # pragma: no cover
+                return
+            for th in list(_CPU_WARM_THREADS):
+                th.join(timeout=120)
+
+        atexit.register(_join_cpu_warm)
+        _CPU_WARM_ATEXIT[0] = True
+
+
 class SolverEngine:
     def __init__(self, store: GraphStore, config: Optional[Config] = None):
         self.store = store
@@ -449,6 +516,10 @@ class SolverEngine:
                     "escalation_error": repr(e)})
             return
         wall_ms = 1000.0 * (time.perf_counter() - t0)
+        cpu_rung_stats = {}
+        if rung == "fp64-cpu":
+            from solve_keyframe_pose_graph_tpu.solver import cpu_rung
+            cpu_rung_stats = dict(cpu_rung._LAST_STATS)
         with self.state_lock:
             stale = (dict(self.store.worlds.get_world_to_setid_map())
                      != setid_snapshot)
@@ -474,6 +545,11 @@ class SolverEngine:
                 "successful_steps": int(res.successful_steps),
                 "cg_iterations": int(res.total_cg_iterations),
                 "escalation_wall_ms": wall_ms,
+                # rung decomposition when the native CPU rung ran (repack+
+                # fetch under the device lock vs host solve) — stall
+                # attribution for the escalation wall
+                **({"rung_stats": dict(cpu_rung_stats)}
+                   if cpu_rung_stats else {}),
             })
         self.timer.totals["fp64_escalation"] += wall_ms / 1000.0
         self.timer.counts["fp64_escalation"] += 1
@@ -782,37 +858,12 @@ class SolverEngine:
         program once; the persistent compile cache (utils/cache) absorbs
         that across processes."""
         cfg = self.config
-        cap = cfg.capacity
-        pairs = []
-        n_cap = cap.initial_nodes
-        while True:
-            e_cap = cap.initial_edges
-            while e_cap <= max(_bucket(max_edges, cap.initial_edges),
-                               cap.initial_edges):
-                pairs.append((n_cap, e_cap))
-                e_cap *= 2
-            if n_cap >= _bucket(max_nodes, cap.initial_nodes):
-                break
-            n_cap *= 2
-        if proportional and max_edges > cap.initial_edges:
-            # A stream's (n_cap, e_cap) growth path is a monotone staircase,
-            # not the full product: at n_cap nodes it has ~max_edges *
-            # n_cap / n_final edges. Warming only the two e-buckets around
-            # that expectation halves the program count (trace+lower is the
-            # dominant, UNCACHEABLE warmup cost — the persistent cache only
-            # skips the compile). A stream that strays off the staircase
-            # just pays its own bucket compile, as before.
-            n_final = _bucket(max_nodes, cap.initial_nodes)
-            kept = []
-            for n_cap_, e_cap_ in pairs:
-                e_exp = max(int(max_edges * n_cap_ / n_final), 1)
-                e_lo = _bucket(e_exp, cap.initial_edges)
-                if e_cap_ in (e_lo, 2 * e_lo):
-                    kept.append((n_cap_, e_cap_))
-            pairs = kept
+        pairs = _warmup_pairs(cfg.capacity, max_nodes, max_edges,
+                              proportional)
         if not background:
             for n_cap, e_cap in pairs:
                 self._warm_one(n_cap, e_cap)
+            self._start_cpu_rung_warm(pairs)
             return len(pairs)
         self._warm_one(*pairs[0])
         self._warmup_done = threading.Event()
@@ -823,11 +874,48 @@ class SolverEngine:
                     self._warm_one(*p)
             finally:
                 self._warmup_done.set()
+            # after the device programs (and after the join event — the
+            # rung warm is best-effort insurance, not part of "warmed")
+            self._cpu_rung_warm(pairs)
 
         self._warmup_thread = threading.Thread(
             target=_rest, daemon=True, name="kpg-warmup")
         self._warmup_thread.start()
         return len(pairs)
+
+    def _start_cpu_rung_warm(self, pairs) -> None:
+        t = threading.Thread(target=self._cpu_rung_warm, args=(pairs,),
+                             daemon=True, name="kpg-cpu-rung-warmup")
+        t.start()
+        self._cpu_rung_warm_thread = t
+
+    def _cpu_rung_warm(self, pairs) -> None:
+        """Best-effort pre-trace/compile of the native CPU fp64 insurance
+        rung at every bucket the stream can escalate from (pure HOST work —
+        no device contact; cpu_rung.warm). Smallest-first so early-stream
+        escalations warm first. Measured: a cold first escalation pays
+        ~9 s of x64 trace+compile on top of the ~2.5 s exact solve."""
+        cfg = self.config
+        if (not getattr(cfg.solver, "adaptive_fp64", False)
+                or getattr(cfg.solver, "fp64_backend", "auto") == "tpu"):
+            return
+        from solve_keyframe_pose_graph_tpu.solver import cpu_rung
+        gate = {"residual_mode": cfg.residual.mode,
+                "use_switch": cfg.residual.use_switch_constraints}
+        if not cpu_rung.available(gate):
+            return
+        _register_cpu_warm_thread(threading.current_thread())
+        for n_cap, e_cap in sorted(set(pairs)):
+            if cpu_rung._WARM_STOP.is_set():
+                return
+            try:
+                cpu_rung.warm(n_cap, e_cap,
+                              fanout=cfg.residual.odometry_fanout)
+            except Exception as exc:          # pragma: no cover
+                from solve_keyframe_pose_graph_tpu.utils.log import get_logger
+                get_logger().warning("cpu-rung warmup (%d, %d) failed: %s",
+                                     n_cap, e_cap, exc)
+                return
 
     def warmup_join(self, timeout: Optional[float] = None) -> bool:
         """Wait for a background warmup pass; True when fully warmed."""

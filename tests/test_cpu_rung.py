@@ -84,3 +84,49 @@ def test_auto_policy_prefers_cpu(rung_ready):
     kw4 = dict(kw, residual_mode="4dof", use_switch=False)
     _, rung4 = lm_ops.escalate_resolve(prob, kw4, 0, fp64_backend="auto")
     assert rung4 == "fp64"
+
+
+def test_warm_precompiles_and_repack_uses_pow2_buckets(rung_ready):
+    """cpu_rung.warm pre-traces the rung at a power-of-two bucket; a
+    subsequent escalation from live lengths inside that bucket repacks to
+    EXACTLY those capacities (pow2, not 1024-granular), so the warmed
+    executables are the ones dispatched (engine._cpu_rung_warm)."""
+    assert cpu_rung.warm(1024, 256, fanout=5, p_cap=4)
+    # live (300, 40) inside caps (2048, 256) -> pow2 repack to the engine
+    # bucket floor (1024, 256)
+    g = synthetic.circle_graph(n_nodes=300, n_loops=40, seed=5)
+    prob = build_problem_np(
+        q=g.vio_q, t=g.vio_t, vio_q=g.vio_q, vio_t=g.vio_t,
+        node_valid=np.ones(g.n_nodes, bool),
+        loop_pairs=g.loop_pairs, loop_q=g.loop_q, loop_t=g.loop_t,
+        loop_w=g.loop_w, loop_valid=np.ones(g.n_loops, bool),
+        switch=np.full(g.n_loops, 0.99),
+        prior_idx=np.array([0]), prior_q=g.vio_q[:1], prior_t=g.vio_t[:1],
+        prior_w=np.array([1.1]),
+        n_cap=2048, e_cap=256, p_cap=4, fanout=5, dtype=np.float32)
+    res = cpu_rung.cpu_fp64_resolve(prob, dict(LM_KW, max_iterations=4))
+    assert cpu_rung._LAST_STATS["n_cap"] == 1024
+    assert cpu_rung._LAST_STATS["e_cap"] == 256
+    assert res.q.shape == (2048, 4)
+    assert float(res.final_cost) < float(res.initial_cost)
+
+
+def test_engine_cpu_rung_warm_covers_warmup_pairs(rung_ready, monkeypatch):
+    """engine.warmup kicks off the best-effort cpu-rung warm thread over
+    the same bucket staircase as the device programs."""
+    from solve_keyframe_pose_graph_tpu.config import Config
+    from solve_keyframe_pose_graph_tpu.graph.store import GraphStore
+    from solve_keyframe_pose_graph_tpu.solver.engine import SolverEngine
+
+    warmed = []
+    monkeypatch.setattr(cpu_rung, "warm",
+                        lambda n, e, fanout=1, p_cap=16:
+                        warmed.append((n, e)) or True)
+    eng = SolverEngine(GraphStore(), Config())
+    eng.warmup(600, 80)
+    t = getattr(eng, "_cpu_rung_warm_thread", None)
+    assert t is not None
+    t.join(timeout=60)
+    assert warmed, "cpu-rung warm thread ran no buckets"
+    assert (1024, 256) in warmed     # the final bucket pair
+    assert warmed == sorted(warmed)  # smallest-first

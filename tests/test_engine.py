@@ -151,16 +151,39 @@ def test_engine_warmup_compiles_buckets():
 
     eng = SolverEngine(GraphStore())
     cap = eng.config.capacity
-    # up to 2x the initial buckets: the proportional staircase keeps
-    # (1024,256), (1024,512), (2048,512) and prunes the off-path
-    # (2048,256) — a 2048-node stream with <=512 edges has outgrown the
-    # 256-edge bucket by the time it reaches that node bucket
+    # up to 2x the initial buckets the visited-path staircase IS the full
+    # 2x2 product: the stream enters (2048, 256) at node 1025 with only
+    # ~half its edges — the LAG pair the first round-5 diagonal rule
+    # dropped (measured 20.6 s mid-stream compile stall on it)
     n = eng.warmup(cap.initial_nodes * 2, cap.initial_edges * 2)
-    assert n == 3
-    # opting out of the pruning warms the full product
+    assert n == 4
     eng2 = SolverEngine(GraphStore())
     assert eng2.warmup(cap.initial_nodes * 2, cap.initial_edges * 2,
                        proportional=False) == 4
+
+
+def test_warmup_pairs_staircase():
+    """The proportional pruning keeps exactly the buckets a uniformly
+    growing stream visits (including the lag pairs where n_cap has doubled
+    but e_cap has not) plus one e-doubling of burst headroom; at 10k/2000
+    that is 12 of the 20 full-product programs."""
+    from solve_keyframe_pose_graph_tpu.config import CapacityConfig
+    from solve_keyframe_pose_graph_tpu.solver.engine import (
+        _bucket, _warmup_pairs)
+
+    cap = CapacityConfig()
+    pairs = _warmup_pairs(cap, 10000, 2000)
+    full = _warmup_pairs(cap, 10000, 2000, proportional=False)
+    assert len(full) == 20
+    assert len(pairs) == 12
+    # simulate the uniform growth path: every (n_cap, e_cap) it visits
+    # must be in the kept set (no mid-stream compile stalls)
+    visited = set()
+    for n in range(1, 10001):
+        e = 2000 * n // 10000
+        visited.add((_bucket(n, cap.initial_nodes),
+                     _bucket(max(e, 1), cap.initial_edges)))
+    assert visited <= set(pairs)
 
 
 def test_engine_warmup_background_overlaps_serving():
@@ -177,7 +200,7 @@ def test_engine_warmup_background_overlaps_serving():
     cap = eng.config.capacity
     n = eng.warmup(cap.initial_nodes * 2, cap.initial_edges * 2,
                    background=True)
-    assert n == 3
+    assert n == 4
     # serve while the background thread is (possibly still) compiling
     g = synthetic.circle_graph(n_nodes=48, n_loops=6, seed=3)
     t0, dt = 1_000_000_000, 100_000_000
