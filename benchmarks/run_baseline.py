@@ -257,6 +257,10 @@ def bench_streaming(results, async_dispatch: bool = False,
     if warmup:
         tw = time.perf_counter()
         nprog = eng.warmup(n_nodes, n_loops)
+        # join the daemon cpu-rung warm too: this box has ONE core, so an
+        # overlapped x64 compile would otherwise get timed against the
+        # stream's host work (measured: 0.9 -> 3.7 s full-rebuild walls)
+        eng.cpu_rung_warm_join()
         warmup_s = round(time.perf_counter() - tw, 1)
         print(f"  warmup: {nprog} bucket programs in {warmup_s}s")
     t0 = 1_000_000_000

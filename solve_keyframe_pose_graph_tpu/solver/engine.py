@@ -185,6 +185,15 @@ class SolverEngine:
         # warmup() pre-compiled), doubled only if the live edge
         # distribution would overflow it. See _sticky_tile_k.
         self._tile_k_by_cap: Dict[Tuple[int, int], int] = {}
+        # (n_cap, e_cap, dtype) buckets with a compiled solve program in
+        # THIS process (filled by warmup and by every dispatch). When a
+        # trigger's exact bucket is not here but a warmed bucket covers it,
+        # _solve_device solves in the covering bucket — padding is masked,
+        # same problem in a larger box — instead of paying a trigger-time
+        # compile stall (measured 28-31 s over the tunnel when the 10k
+        # stream's first loop edge arrived at node 5001: bucket
+        # (8192, 256), a pair no edge-arrival model pre-compiles).
+        self._warmed_buckets: set = set()
         # (problem, lm_kwargs) of the latest dispatch, for the deferred
         # adaptive-fp64 escalation check in _finish_solve
         self._last_dispatch = None
@@ -680,6 +689,15 @@ class SolverEngine:
         e_cap = _bucket(max(edge_len, 1), cap.initial_edges)
         p_cap = _bucket(max(len(prior_idx), 1), 16)
         dtype = np.float64 if cfg.solver.dtype == "float64" else np.float32
+        # bucket cover: an uncompiled exact bucket with a compiled covering
+        # bucket available solves in the cover (see _warmed_buckets note).
+        # Smallest cover by (n_cap, e_cap) — n_cap dominates solve cost.
+        if (n_cap, e_cap, cfg.solver.dtype) not in self._warmed_buckets:
+            covers = sorted((kn, ke) for (kn, ke, kd) in self._warmed_buckets
+                            if kd == cfg.solver.dtype
+                            and kn >= n_cap and ke >= e_cap)
+            if covers:
+                n_cap, e_cap = covers[0]
 
         with self.timer.phase("problem_build"):
             problem = self._build(node_len, edge_len, node_worlds, prior_idx,
@@ -735,6 +753,7 @@ class SolverEngine:
         # process, a disk-cached executable loads in ~1-3 s instead of the
         # ~14 s trace+lower+compile (utils/cache AOT notes)
         res = lm_ops.lm_solve_aot(problem, **kw)
+        self._warmed_buckets.add((n_cap, e_cap, cfg.solver.dtype))
         # stash for the deferred escalation check in _finish_solve (the
         # async path must not block on a scalar fetch here)
         self._last_dispatch = (problem, kw)
@@ -924,6 +943,18 @@ class SolverEngine:
             return True
         return ev.wait(timeout)
 
+    def cpu_rung_warm_join(self, timeout: Optional[float] = None) -> bool:
+        """Wait for the best-effort CPU-rung warm pass (benchmarks join it
+        so single-core hosts don't time x64 compiles against the stream's
+        host work; production serving leaves it overlapped)."""
+        for attr in ("_cpu_rung_warm_thread", "_warmup_thread"):
+            t = getattr(self, attr, None)
+            if t is not None:
+                t.join(timeout)
+                if t.is_alive():
+                    return False
+        return True
+
     def _warm_one(self, n_cap: int, e_cap: int) -> None:
         """Compile + prime ONE bucket program (dummy graph, real shapes).
 
@@ -993,6 +1024,7 @@ class SolverEngine:
         # startup-cost decomposition (VERDICT round-4 item 7): trace+lower+
         # compile (host; the persistent cache shortens only the compile
         # part) vs the priming dispatch (device + tunnel RTT)
+        self._warmed_buckets.add((n_cap, e_cap, cfg.solver.dtype))
         self.warmup_stats.append({
             "n_cap": n_cap, "e_cap": e_cap,
             "prepare_s": round(t1 - t0, 2),

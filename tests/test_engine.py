@@ -540,3 +540,45 @@ def test_diagnostic_variants_fenced_from_product_config():
     cfg = dataclasses.replace(SolverConfig(), preconditioner="identity")
     with pytest.raises(ValueError, match="diagnostic"):
         lm_ops.cfg_lm_kwargs(cfg)
+
+
+def test_engine_bucket_cover_dispatch(monkeypatch):
+    """A trigger whose exact (n_cap, e_cap) bucket has no compiled program
+    in this process solves in the smallest compiled COVERING bucket
+    (padding is masked — same problem, larger box) instead of paying a
+    trigger-time compile stall (measured 28-31 s over the tunnel when the
+    10k stream's first loop edge arrived at node 5001: bucket (8192, 256),
+    a pair no edge-arrival model pre-compiles)."""
+    from solve_keyframe_pose_graph_tpu.graph import synthetic
+    from solve_keyframe_pose_graph_tpu.graph.store import GraphStore
+    from solve_keyframe_pose_graph_tpu.ops import lm as lm_ops
+    from solve_keyframe_pose_graph_tpu.solver.engine import SolverEngine
+
+    store = GraphStore()
+    eng = SolverEngine(store)
+    # pretend warmup compiled only (2048, 512)
+    eng._warmed_buckets.add((2048, 512, "float32"))
+    seen = {}
+    real = lm_ops.lm_solve_aot
+
+    def spy(problem, **kw):
+        seen["n_cap"] = problem.n_cap
+        seen["e_cap"] = problem.e_cap
+        return real(problem, **kw)
+
+    monkeypatch.setattr(lm_ops, "lm_solve_aot", spy)
+    g = synthetic.circle_graph(n_nodes=60, n_loops=8, seed=2)
+    t0, dt = 1_000_000_000, 100_000_000
+    for i in range(g.n_nodes):
+        store.add_node(t0 + i * dt, g.vio_q[i], g.vio_t[i])
+    for k in range(g.n_loops):
+        a, b = map(int, g.loop_pairs[k])
+        store.add_loop_edge(t0 + a * dt, t0 + b * dt,
+                            g.loop_q[k], g.loop_t[k], float(g.loop_w[k]))
+    assert eng.trigger()
+    eng.drain()
+    # exact bucket would be (1024, 256); the cover redirected to (2048, 512)
+    assert (seen["n_cap"], seen["e_cap"]) == (2048, 512)
+    assert eng.solve_stats[-1]["final_cost"] < 1.0
+    # the used bucket is now recorded; a second engine pass reuses it
+    assert (2048, 512, "float32") in eng._warmed_buckets
