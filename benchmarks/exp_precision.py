@@ -123,7 +123,7 @@ def main():
             "adaptive_chi2_max": max(chis),
             "n_escalated": sum(bool(r["escalated"]) for r in rows),
             "rungs": {lvl: sum(r["escalated"] == lvl for r in rows)
-                      for lvl in ("mixed", "fp64")},
+                      for lvl in ("mixed", "fp64", "fp64-cpu")},
             "fp32_chi2_min": min(r["fp32_chi2"] for r in rows),
             "fp32_chi2_max": max(r["fp32_chi2"] for r in rows),
         }

@@ -579,8 +579,19 @@ def main():
             # mid-stream forced escalation: the fp64 insurance rung must
             # apply AT CAPACITY (VERDICT r4 item 4) without stalling the
             # trigger stream (background escalation + native CPU rung)
+            # trigger_every=500: enough poll resolution that the row shows
+            # the stream CONTINUING around the background escalation (the
+            # engine accumulates edges while the escalated re-solve is in
+            # flight, the reference's own busy-solver semantic,
+            # PoseGraphSLAM.cpp:1306-1312)
+            # pace_ms=2000: an unpaced harness ingests the whole remaining
+            # stream in ~10 s while the 30k escalation solves for ~41 s, so
+            # every poll lands in the busy-solver window and the row
+            # degenerates to 2 triggers. The reference's solver polls at
+            # 0.5 Hz against a 30 Hz camera (PoseGraphSLAM.cpp:1306) — the
+            # paced row shows triggers resuming after the escalation lands.
             bench_streaming(results, n_nodes=30000, n_loops=3000,
-                            trigger_every=1500, warmup=True,
+                            trigger_every=500, warmup=True, pace_ms=2000.0,
                             inject_distress_at=5)
         if not only or "streaming_distress" in only:
             # injected-distress row (VERDICT r3 item 4): one mid-stream
